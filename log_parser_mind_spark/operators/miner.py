@@ -1,0 +1,158 @@
+"""Distributed Drain template miner (SURVEY §4.3.1) — the heart of the engine.
+
+Scale design (why this survives 100 TB where the reference's global-mutex
+tree (drain.go:135-136) cannot):
+
+  stage 1  MASK      — native-expression projection per row: tokens, masked
+                       tokens, masked signature, tree-leaf coordinates.
+                       Whole-stage codegen, zero Python. (parse.py)
+  stage 2  SIG AGG   — ``groupBy(leaf keys, masked_sig)`` with count/min/max.
+                       Partial aggregation collapses every input partition to
+                       its DISTINCT signatures before the exchange, so the
+                       only shuffle of the big pass moves ~|templates|·k rows,
+                       not |input| rows. Hot templates (skewed conversations)
+                       are absorbed map-side — no salting needed for this agg
+                       because the combine is associative.
+  stage 3  CLUSTER   — ``applyInPandas`` per tree-leaf group over distinct
+                       signatures only (thousands, not billions). Sequential
+                       Drain runs here, in canonical first-occurrence order.
+  stage 4  ASSIGN    — join the (tiny) sig→template map back onto rows.
+                       Broadcast by hint or by AQE's runtime size check, so
+                       the fact table never shuffles.
+
+Template IDs are FNV-64a of the final template string → pure function of the
+template, identical at any parallelism (the N vs 4N executor equality the
+north rule demands).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DrainConfig, PipelineConfig
+from ..schemas import ASSIGNMENTS, TEMPLATES
+from .drain_core import SigInput, cluster_signatures
+
+_LEAF_KEYS = ["n_tokens", "k0", "k1"]
+
+
+def _sig_stats(masked: DataFrame, collect_samples: bool) -> DataFrame:
+    """Stage 2: per-signature stats. ``masked`` must carry conv_id, turn_idx,
+    ts, text, masked_sig, n_tokens, k0, k1 (from parse.masked_transcripts)."""
+    aggs = [
+        F.count(F.lit(1)).alias("weight"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.min(F.struct("conv_id", "turn_idx")).alias("first_key"),
+    ]
+    if collect_samples:
+        # Bounded: one example row per signature (the canonical first one);
+        # the reference never actually populates SampleLogs (drain.go:290,
+        # no append anywhere), so even this is a superset of its behavior.
+        aggs.append(F.min(F.struct("conv_id", "turn_idx", "text")).alias("first_example"))
+    out = masked.filter(F.col("n_tokens") > 0).groupBy(*_LEAF_KEYS, "masked_sig").agg(*aggs)
+    return out.select(
+        *_LEAF_KEYS,
+        "masked_sig",
+        "weight",
+        "first_seen",
+        "last_seen",
+        F.col("first_key.conv_id").alias("first_conv"),
+        F.col("first_key.turn_idx").alias("first_turn"),
+        *( [F.col("first_example.text").alias("example")] if collect_samples else [] ),
+    )
+
+
+def _make_cluster_udf(sim_threshold: float):
+    def cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sigs = [
+            SigInput(
+                sig=row.masked_sig,
+                weight=int(row.weight),
+                first_conv=row.first_conv,
+                first_turn=int(row.first_turn),
+            )
+            for row in pdf.itertuples()
+        ]
+        assignments = {a.sig: a for a in cluster_signatures(sigs, sim_threshold)}
+        return pd.DataFrame(
+            {
+                "masked_sig": pdf["masked_sig"],
+                "template_id": [assignments[s].template_id for s in pdf["masked_sig"]],
+                "template": [assignments[s].template for s in pdf["masked_sig"]],
+                "creates": [assignments[s].creates for s in pdf["masked_sig"]],
+                "weight": pdf["weight"],
+                "first_seen": pdf["first_seen"],
+                "last_seen": pdf["last_seen"],
+                "first_conv": pdf["first_conv"],
+                "first_turn": pdf["first_turn"],
+            }
+        )
+
+    return cluster_group
+
+
+def mine_assignments(masked: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
+    """Stages 2+3: masked rows → per-signature template assignments."""
+    config = config or PipelineConfig()
+    sig_stats = _sig_stats(masked, collect_samples=False)
+    udf = _make_cluster_udf(config.drain.sim_threshold)
+    return sig_stats.groupBy(*_LEAF_KEYS).applyInPandas(udf, schema=ASSIGNMENTS)
+
+
+def templates_from_assignments(
+    assignments: DataFrame, examples: DataFrame | None = None
+) -> DataFrame:
+    """Templates dimension (drain.go:36-45 / 001_clickhouse_schema.sql:26-34):
+    upsert semantics = groupBy(template_id) min/max/sum, replacing the
+    reference's ReplacingMergeTree(last_seen)."""
+    t = (
+        assignments.groupBy("template_id", "template")
+        .agg(
+            F.sum("weight").alias("log_count"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        )
+        .select(
+            "template_id",
+            F.col("template").alias("pattern"),
+            F.split("template", " ").alias("tokens"),
+            "log_count",
+            "first_seen",
+            "last_seen",
+            F.array().cast("array<string>").alias("sample_logs"),
+        )
+    )
+    return t
+
+
+def assign_templates(
+    masked: DataFrame,
+    assignments: DataFrame,
+    config: PipelineConfig | None = None,
+) -> DataFrame:
+    """Stage 4: attach template_id/template/is_new to every row.
+
+    Left join keeps empty-text rows (the reference's Parse errors on them,
+    cmd/ingestion drops the message; we keep the row with a null template so
+    per-turn text equality still holds end-to-end).
+    """
+    config = config or PipelineConfig()
+    amap = assignments.select(
+        "masked_sig", "template_id", "template", "creates", "first_conv", "first_turn"
+    )
+    if config.broadcast_assignments is True:
+        amap = F.broadcast(amap)
+    joined = masked.join(amap, on="masked_sig", how="left")
+    return joined.withColumn(
+        "is_new",
+        F.when(F.col("template_id").isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.col("creates")
+            & (F.col("conv_id") == F.col("first_conv"))
+            & (F.col("turn_idx") == F.col("first_turn"))
+        ),
+    ).drop("creates", "first_conv", "first_turn")

@@ -1,0 +1,48 @@
+"""SparkSession builder with scale-appropriate defaults.
+
+Single place to pin the configs that matter both on local[N] and on a real
+multi-executor cluster: AQE (runtime re-plan + skew-join splitting), UTC
+session timezone (oracle parity with DuckDB), Arrow for the pandas-UDF
+boundary, and shuffle parallelism sized to cores instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "log_parser_mind_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.cpu_count() or 4
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = cpus if inner == "*" else max(int(inner), 1)
+        else:
+            shuffle_partitions = 200  # cluster: let AQE coalesce downward
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
