@@ -1,0 +1,86 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting. All native expressions (JVM-side),
+deterministic, and DuckDB-oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "in", "and", "is"],
+    "es": ["el", "la", "de", "que", "y", "los", "en"],
+    "fr": ["le", "la", "les", "et", "un", "une", "des"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "nicht"],
+}
+LANG_ORDER = ["en", "es", "fr", "de"]  # deterministic tiebreak precedence
+
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def lower_tokens(text: Column) -> Column:
+    t = F.lower(F.trim(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def stopword_hits_expr(text: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(lower_tokens(text), lambda t: t.isin(*words)))
+
+
+def lang_id_expr(text: Column, min_hits: int = 1) -> Column:
+    """Argmax of stopword hits with fixed precedence; 'unknown' below min_hits."""
+    hits = {lang: stopword_hits_expr(text, lang) for lang in LANG_ORDER}
+    best = F.greatest(*hits.values())
+    expr = F.lit("unknown")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((hits[lang] == best) & (best >= min_hits), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def whitespace_token_count_expr(text: Column) -> Column:
+    return F.size(lower_tokens(text))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """Word/punctuation split approximating a BPE pre-tokenizer pass."""
+    return F.size(F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_count_expr(text: Column) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(r"[^A-Za-z0-9_\s]"), F.lit(0))
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality score from length / punctuation / stopword
+    ratios — the heuristic pre-filter a training pipeline runs before
+    expensive stages. Pure arithmetic; identical formula in the oracle SQL."""
+    n_tok = whitespace_token_count_expr(text)
+    n_chars = F.length(F.coalesce(text, F.lit("")))
+    punct = punct_count_expr(text)
+    stop = stopword_hits_expr(text, "en")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (1 - F.least(punct_ratio * 4, F.lit(1.0))),
+        6,
+    )
+
+
+def fingerprint_expr(text: Column, mod: int = 1_000_000_007) -> Column:
+    """Rolling polynomial hash over tokens: per-token unit =
+    31·unicode(first char) + byte length; rolled acc·131 + unit (mod p).
+    Stays within BIGINT in engines that error on overflow (DuckDB)."""
+    toks = lower_tokens(text)
+    unit = lambda t: (F.lit(31) * F.ascii(t) + F.octet_length(t)) % mod  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 131 + unit(t)) % mod,
+    )

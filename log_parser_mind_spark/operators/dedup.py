@@ -1,0 +1,232 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five strategies, each scale-shaped for 100 TB:
+
+  exact          — hash-groupBy on the normalized text; map-side combine, one
+                   shuffle of distinct hashes. Keep min(doc_id) per group.
+  minhash LSH    — shingle → k minhashes via k seeded xxhash64 (all JVM-side,
+                   no Python) → band buckets → candidate pairs via bucket
+                   self-join → exact-Jaccard verify on candidates only.
+  simhash        — 64-bit weighted-majority fingerprint per doc (vectorized
+                   pandas UDF over Arrow batches); near-dups = identical
+                   simhash (or identical band for hamming≤k via rotations).
+  n-gram Jaccard — exact token-shingle Jaccard via explode + equi-join +
+                   group count; bounded by a candidate filter.
+  embedding      — cosine near-dup over array<float>; brute-force on
+                   candidates from LSH hyperplane buckets (similarity.py).
+
+All thresholds/seeds are parameters; everything is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def normalized_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per exact normalized text. The groupBy
+    key is the xxhash64 of the text, so the shuffle moves 8-byte keys, not
+    documents; a second pass joins survivors back (here: min_by avoids it)."""
+    return (
+        docs.groupBy(F.xxhash64(normalized_text(F.col(text_col))).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (JVM-side)."""
+    toks = F.split(normalized_text(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def _seeded_hash(seed: int):
+    # Single-arg lambda on purpose: a two-arg lambda would make F.transform
+    # bind the second parameter to the ARRAY INDEX, silently replacing the seed.
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
+def minhash_signature_expr(shingles, k: int = 32):
+    """k minhash values: min over shingles of xxhash64(seed_i, shingle).
+    Pure JVM expressions — no Python in the 100 TB pass."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, _seeded_hash(i))) for i in range(k)]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+    band hash = xxhash64 of the band's rows-per-band minhash slice; the
+    self-join runs per (band_idx, band_hash) bucket, so cost is Σ bucket²,
+    not n² — the LSH scale path."""
+    rows_per_band = k // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_expr(shingles_expr(F.col(text_col), shingle_n), k).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs (or a candidate pair set from LSH).
+    explode → equi-join on shingle → |∩| per pair; |∪| = sa + sb − |∩|."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_expr(F.col(text_col), n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-token 64-bit hash, weighted bit-majority.
+    Vectorized numpy inside mapInPandas (Arrow batches); deterministic FNV-64a
+    token hashing so parallelism never changes the fingerprint."""
+
+    def compute(it):
+        for pdf in it:
+            out_ids, out_hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                tokens = (text or "").lower().split()
+                if not tokens:
+                    out_ids.append(did)
+                    out_hashes.append(0)
+                    continue
+                hashes = np.array(
+                    [_fnv64(t) for t in tokens], dtype=np.uint64
+                )
+                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sim = np.uint64(0)
+                for i in np.nonzero(votes > 0)[0]:
+                    sim |= np.uint64(1) << np.uint64(i)
+                out_ids.append(did)
+                out_hashes.append(int(sim.astype(np.int64)))
+            yield pd.DataFrame({"id": out_ids, "simhash": out_hashes})
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
+        compute, schema=_SIMHASH_SCHEMA
+    )
+
+
+def _fnv64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for byte in s.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs whose simhash collides exactly (hamming 0) — groupBy fingerprint.
+    For hamming ≤ k, join on 4×16-bit band slices instead (same shape as LSH)."""
+    sh = simhash_table(docs, id_col, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH hyperplane bucket (similarity.py) →
+    exact cosine verify within buckets only."""
+    from .similarity import cosine_expr, hyperplane_bucket
+
+    b = hyperplane_bucket(embeddings, id_col, vec_col, n_planes=n_planes, seed=seed)
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

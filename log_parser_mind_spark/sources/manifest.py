@@ -1,0 +1,131 @@
+"""Lineage + metrics manifest with snapshot commits and resume (north rule).
+
+The reference has no lineage at all (its at-most-once worker pool silently
+drops rows, internal/pipeline/worker.go:148-152,169-177); the north rule
+mandates per-stage, per-partition row counts and resume from the last
+committed snapshot. With an Iceberg catalog this is `writeTo(...).append()` +
+snapshot metadata; this module emulates the same commit semantics over plain
+Parquet so the behavior is exercised in the sandbox:
+
+  - each stage writes to   <root>/<sink>/snapshot=<n>/   (atomic: data first,
+    then a COMMIT marker; readers ignore snapshot dirs without a marker)
+  - row counts per partition land in <root>/_manifest/ as parquet
+  - resume: a re-run with the same run_id skips stages whose commit marker
+    exists, reading the committed snapshot instead of recomputing
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import MANIFEST
+
+COMMIT_MARKER = "_COMMITTED"
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+
+    # -- commit protocol ----------------------------------------------------
+
+    def _sink_dir(self, sink: str) -> str:
+        return os.path.join(self.root, sink)
+
+    def committed_snapshots(self, sink: str) -> list[int]:
+        d = self._sink_dir(sink)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("snapshot=") and os.path.exists(
+                os.path.join(d, name, COMMIT_MARKER)
+            ):
+                out.append(int(name.split("=")[1]))
+        return sorted(out)
+
+    def latest_snapshot(self, sink: str) -> int | None:
+        snaps = self.committed_snapshots(sink)
+        return snaps[-1] if snaps else None
+
+    def is_committed(self, sink: str, snapshot: int) -> bool:
+        return os.path.exists(
+            os.path.join(self._sink_dir(sink), f"snapshot={snapshot}", COMMIT_MARKER)
+        )
+
+    def commit(
+        self,
+        df: DataFrame,
+        sink: str,
+        run_id: str,
+        snapshot: int | None = None,
+        sort_within_partitions: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Write ``df`` as the next snapshot of ``sink`` atomically and record
+        per-partition row counts in the manifest. Returns the snapshot id.
+
+        ``sort_within_partitions`` mirrors the reference's clustered sort key
+        ORDER BY (source, template_id, timestamp) (001_clickhouse_schema.sql:21)
+        → parquet min/max page stats give the same data-skipping effect.
+        """
+        if snapshot is None:
+            latest = self.latest_snapshot(sink)
+            snapshot = 0 if latest is None else latest + 1
+        path = os.path.join(self._sink_dir(sink), f"snapshot={snapshot}")
+
+        out = df
+        if sort_within_partitions:
+            out = out.sortWithinPartitions(*sort_within_partitions)
+        # Per-partition row counts via observe-free aggregation: cheap second
+        # pass over the written files (exact, and never perturbs the plan).
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+        written = self.spark.read.parquet(path)
+        counts = (
+            written.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .collect()
+        )
+        total = sum(r.rows_out for r in counts)
+        committed_at = datetime.now(timezone.utc).replace(tzinfo=None)
+        rows = [
+            (run_id, sink, snapshot, int(r.partition_id), None, int(r.rows_out),
+             committed_at, "committed")
+            for r in counts
+        ] + [(run_id, sink, snapshot, -1, None, int(total), committed_at, "committed")]
+        self.spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
+            os.path.join(self.root, "_manifest")
+        )
+        # Atomic commit point: marker written last.
+        with open(os.path.join(path, COMMIT_MARKER), "w") as fh:
+            json.dump({"run_id": run_id, "rows": total, "ts": time.time()}, fh)
+        return snapshot
+
+    def read(self, sink: str, snapshot: int | None = None) -> DataFrame:
+        snapshot = self.latest_snapshot(sink) if snapshot is None else snapshot
+        if snapshot is None:
+            raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")
+        return self.spark.read.parquet(
+            os.path.join(self._sink_dir(sink), f"snapshot={snapshot}")
+        )
+
+    def manifest(self) -> DataFrame:
+        return self.spark.read.schema(MANIFEST).parquet(os.path.join(self.root, "_manifest"))
+
+    def expire(self, sink: str, ts_col: str, older_than: str) -> int:
+        """TTL maintenance (001_clickhouse_schema.sql:22 ``TTL timestamp +
+        INTERVAL 90 DAY``): rewrite latest snapshot without expired rows."""
+        df = self.read(sink)
+        kept = df.filter(F.col(ts_col) >= F.lit(older_than).cast("timestamp"))
+        return self.commit(kept, sink, run_id=f"ttl_{older_than}")

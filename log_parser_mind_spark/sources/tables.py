@@ -1,0 +1,80 @@
+"""Table readers/writers (SURVEY §2.1).
+
+The batch source replacing the reference's push ingest (S1-S3) is a
+partitioned columnar read; sinks S4-S7 are snapshot commits (manifest.py).
+When an Iceberg catalog is configured the same calls route through
+``writeTo``/`MERGE INTO`; the sandbox has no Iceberg jar (SURVEY §7.2), so
+`iceberg_available()` gates that path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import TRANSCRIPTS
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """S1-S3: the transcripts fact source. Fixed schema — never inferred."""
+    return spark.read.schema(TRANSCRIPTS).parquet(path)
+
+
+def write_transcripts(
+    df: DataFrame, path: str, n_buckets: int = 32, months_partitioning: bool = True
+) -> None:
+    """Write transcripts the way the 10^12-turn table would be laid out:
+    Iceberg ``PARTITIONED BY (months(ts), bucket(N, conv_id))`` emulated as
+    hive-style month dir + conv-hash bucket file grouping, with rows
+    clustered by (conv_id, turn_idx) inside files."""
+    out = df.withColumn("month", F.date_format("ts", "yyyy-MM"))
+    if months_partitioning:
+        (
+            out.repartition(n_buckets, F.col("month"), F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(path)
+        )
+    else:
+        out.drop("month").repartition(n_buckets, "conv_id").sortWithinPartitions(
+            "conv_id", "turn_idx"
+        ).write.mode("overwrite").parquet(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` corpus (doc_id, text, lang, source,
+    n_chars) to the transcripts shape so the full pipeline can run over a
+    provided table: one document = one single-turn conversation, with a
+    deterministic timestamp derived from doc_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.format_string("conv_%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("source").alias("role"),
+        "text",
+        F.lit("none").alias("tool"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(F.col("doc_id") % 86400).cast("double"))
+        ).alias("ts"),
+    )

@@ -1,0 +1,142 @@
+"""Training-data ops: dedup (exact / minhash-LSH / simhash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force vs LSH), text analysis,
+multimodal plumbing.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_parser_mind_spark.functions import text as tx
+from log_parser_mind_spark.operators import dedup, similarity
+from log_parser_mind_spark.sources import multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (3, "completely different content about spark engines"),
+        (4, "El perro corre en la casa de la abuela y los gatos"),
+        (5, "THE  quick   brown fox jumps over the lazy dog"),       # ws/case dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup(docs).collect()
+    dups = {r.keep_id: r.dup_count for r in groups if r.dup_count > 1}
+    assert dups == {0: 3}  # 0, 1, 5 normalize identically
+    assert len(groups) == 4
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(docs, k=16, bands=16).collect()
+    }
+    assert (0, 1) in pairs and (0, 5) in pairs
+    assert (0, 2) in pairs  # near dup shares most shingles → some band collides
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash(docs):
+    groups = dedup.simhash_near_dups(docs).collect()
+    ids = sorted(sorted(g.ids) for g in groups)
+    assert [0, 1, 5] in ids  # identical normalized text → identical simhash
+    # determinism across runs
+    again = sorted(sorted(g.ids) for g in dedup.simhash_near_dups(docs).collect())
+    assert ids == again
+
+
+def test_embedding_near_dups_and_topk(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((6, 8)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(8).astype("float32")  # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    nd = {(r.id_a, r.id_b) for r in dedup.embedding_near_dups(emb, threshold=0.99).collect()}
+    assert (0, 1) in nd
+
+    exact = similarity.brute_force_topk(emb.filter("vec_id = 0"), emb.filter("vec_id > 0"), k=1)
+    assert exact.collect()[0].neighbor_id == 1
+
+    approx = similarity.lsh_topk(emb.filter("vec_id = 0"), emb.filter("vec_id > 0"), k=1)
+    got = approx.collect()
+    assert not got or got[0].neighbor_id == 1  # near-identical vectors share buckets
+
+
+def test_ivf_assignments_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a1 = sorted((r.vec_id, r.centroid_id) for r in similarity.ivf_assignments(emb, 4, 2).collect())
+    a2 = sorted((r.vec_id, r.centroid_id) for r in similarity.ivf_assignments(emb, 4, 2).collect())
+    assert a1 == a2
+    assert len({c for _, c in a1}) > 1
+
+
+def test_text_analysis(spark):
+    rows = [
+        ("the cat sat of the mat in a hat",),
+        ("el perro de la casa que ladra y los gatos",),
+        ("zzz qqq xxx",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        tx.lang_id_expr(F.col("text")).alias("lang"),
+        tx.whitespace_token_count_expr(F.col("text")).alias("n_ws"),
+        tx.bpe_ish_token_count_expr(F.col("text")).alias("n_bpe"),
+        tx.quality_score_expr(F.col("text")).alias("q"),
+        tx.fingerprint_expr(F.col("text")).alias("fp"),
+    ).collect()
+    assert got[0].lang == "en"
+    assert got[1].lang == "es"
+    assert got[2].lang == "unknown"
+    assert got[0].n_ws == 9
+    assert all(0.0 <= r.q <= 1.0 for r in got)
+    assert got[0].fp != got[1].fp
+    # punctuation splits in BPE-ish counting
+    n = spark.createDataFrame([("don't stop!",)], "text string").select(
+        tx.bpe_ish_token_count_expr(F.col("text")).alias("n")
+    ).collect()[0].n
+    assert n == 5  # don / ' / t / stop / !
+
+
+def test_multimodal_plumbing(spark):
+    assets = multimodal.synth_assets(spark, n=12)
+    feats = multimodal.decode_and_featurize(assets, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+    # determinism
+    again = multimodal.decode_and_featurize(assets, fake=True).collect()
+    assert sorted((r.asset_id, tuple(r.features)) for r in rows) == sorted(
+        (r.asset_id, tuple(r.features)) for r in again
+    )
+    # real decode path is explicitly stubbed
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.decode_and_featurize(assets, fake=False).collect()
+
+    frames = multimodal.frame_sample_plan(assets, every_ms=1000)
+    assert frames.filter("frame_ts_ms > 0").count() > 0
+    stats = {r.media_type: r.n_assets for r in multimodal.media_stats(assets).collect()}
+    assert stats == {"image": 4, "audio": 4, "video": 4}
