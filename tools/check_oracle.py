@@ -1,0 +1,94 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values (exact after the declared
+rounding). Exit non-zero on any mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None) if v.tzinfo else v
+    return v
+
+
+def norm_df(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from log_parser_mind_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f).removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got_df = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"{name:24s} SPARK-ERROR {str(e).splitlines()[0][:120]}")
+            continue
+        if name not in oracles:
+            print(f"{name:24s} rows-only   rows={len(got_df)}")
+            continue
+        try:
+            want_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"{name:24s} ORACLE-ERROR {str(e).splitlines()[0][:120]}")
+            continue
+        problems = []
+        if sorted(got_df.columns) != sorted(want_df.columns):
+            problems.append(f"columns {sorted(got_df.columns)} vs {sorted(want_df.columns)}")
+        if len(got_df) != len(want_df):
+            problems.append(f"rowcount {len(got_df)} vs {len(want_df)}")
+        if not problems:
+            g, w = norm_df(got_df), norm_df(want_df)
+            if g != w:
+                diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"{name:24s} MISMATCH    {problems[0][:160]}")
+        else:
+            print(f"{name:24s} OK          rows={len(got_df)}")
+
+    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    for name, msg in failures:
+        print(f"  FAIL {name}: {msg[:300]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
