@@ -1,0 +1,84 @@
+"""spark-submit entry for the scaling experiment (north rule: the job ships
+as ``spark-submit --py-files logmind.zip`` and runs at N and 4N parallelism).
+
+    spark-submit --master local[N] --py-files logmind.zip \
+        bench/submit_job.py <input_parquet> [n_partitions]
+
+Reads the transcripts parquet, runs the full parse → mine → enrich → route →
+aggregate pipeline to completion (noop sinks), prints one JSON line with the
+timed region (excludes session startup and input listing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from log_parser_mind_spark.config import PipelineConfig
+from log_parser_mind_spark.operators import aggregate as agg
+from log_parser_mind_spark.operators.enrich import enrich_with_lookup, role_tool_lookup
+from log_parser_mind_spark.operators.parse import parse_pipeline
+from log_parser_mind_spark.operators.route import with_route
+from log_parser_mind_spark.schemas import TRANSCRIPTS
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    path = sys.argv[1]
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cores = spark.sparkContext.defaultParallelism
+    n_partitions = int(sys.argv[2]) if len(sys.argv) > 2 else cores * 4
+    spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+
+    transcripts = spark.read.schema(TRANSCRIPTS).parquet(path).repartition(n_partitions)
+    n_turns = transcripts.count()  # warm the file listing outside the timed region
+    sink = tempfile.mkdtemp(prefix="logmind_bench_") + "/parsed_turns"
+
+    t0 = time.time()
+    parsed_lazy, templates, _ = parse_pipeline(transcripts, PipelineConfig())
+    parsed_lazy = with_route(enrich_with_lookup(parsed_lazy, role_tool_lookup(spark)))
+    # One expensive pass: write the parsed_turns sink (the real pipeline
+    # output), then compute every aggregate from the committed columnar
+    # snapshot. An in-memory persist() of these wide rows costs ~60 s of
+    # cache-build regardless of cores and flattens scaling (measured);
+    # parquet-out/parquet-in is parallel on both sides.
+    parsed_lazy.write.mode("overwrite").parquet(sink)
+    parsed = spark.read.parquet(sink)
+    _noop(templates)
+    _noop(agg.hourly_rollup(parsed))
+    _noop(agg.error_rates(parsed))
+    _noop(agg.top_templates(parsed))
+    _noop(agg.global_stats(parsed))
+    elapsed = time.time() - t0
+
+    checksum = parsed.agg(
+        F.sum(F.crc32(F.concat_ws("|", "conv_id", "turn_idx", "template_id")))
+    ).collect()[0][0]
+    shutil.rmtree(os.path.dirname(sink), ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_partitions": n_partitions,
+                "n_turns": n_turns,
+                "elapsed_sec": round(elapsed, 3),
+                "turns_per_sec": round(n_turns / elapsed, 1),
+                "checksum": int(checksum),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,15 @@ def quality_score_expr(text: Column) -> Column:
     )
 
 
+def strip_code_fences_expr(text: Column) -> Column:
+    """F17 — markdown code-fence stripping (reference cleanJSONResponse,
+    internal/agent/llm/client.go:271-284): remove leading ```json / ``` fence
+    lines and a trailing ``` fence, trim whitespace."""
+    out = F.regexp_replace(text, r"^\s*```(?:json|JSON)?\s*\n?", "")
+    out = F.regexp_replace(out, r"\n?```\s*$", "")
+    return F.trim(out)
+
+
 def fingerprint_expr(text: Column, mod: int = 1_000_000_007) -> Column:
     """Rolling polynomial hash over tokens: per-token unit =
     31·unicode(first char) + byte length; rolled acc·131 + unit (mod p).

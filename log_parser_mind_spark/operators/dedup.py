@@ -77,10 +77,20 @@ def minhash_lsh_candidates(
     self-join runs per (band_idx, band_hash) bucket, so cost is Σ bucket²,
     not n² — the LSH scale path."""
     rows_per_band = k // bands
-    sig = docs.select(
+    # Explode to one row per distinct shingle, then k min-aggregates: the
+    # shingle expression evaluates ONCE per row (a nested k-way expression
+    # tree would inline it k times — measured 32× slower and a codegen
+    # blowup), and groupBy(min) combines map-side, so the shuffle moves one
+    # k-wide row per document.
+    exploded = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature_expr(shingles_expr(F.col(text_col), shingle_n), k).alias("sig"),
-    ).filter(F.size("sig") > 0)
+        F.explode(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    sig = exploded.groupBy("id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))) for i in range(k)]
+        ).alias("sig")
+    )
     banded = sig.select(
         "id",
         F.explode(

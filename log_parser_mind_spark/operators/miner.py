@@ -27,15 +27,14 @@ north rule demands).
 
 from __future__ import annotations
 
-from typing import Iterable
+
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..config import DrainConfig, PipelineConfig
-from ..schemas import ASSIGNMENTS, TEMPLATES
-from .drain_core import SigInput, cluster_signatures
+from ..config import PipelineConfig
+from ..schemas import ASSIGNMENTS
 
 _LEAF_KEYS = ["n_tokens", "k0", "k1"]
 
@@ -67,41 +66,104 @@ def _sig_stats(masked: DataFrame, collect_samples: bool) -> DataFrame:
     )
 
 
+_CLUSTER_OUT = "masked_sig string, template_id string, template string, creates boolean"
+
+
 def _make_cluster_udf(sim_threshold: float):
+    """Per-leaf clusterer. I/O is deliberately slim — only the signature and
+    its ordering key cross the Arrow boundary (timestamps/weights are joined
+    back JVM-side): the biggest leaf group is a single sequential task, so
+    every byte serialized here is wall-clock serial time."""
+    from .drain_core import WILDCARD, template_id_of
+
     def cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        sigs = [
-            SigInput(
-                sig=row.masked_sig,
-                weight=int(row.weight),
-                first_conv=row.first_conv,
-                first_turn=int(row.first_turn),
-            )
-            for row in pdf.itertuples()
-        ]
-        assignments = {a.sig: a for a in cluster_signatures(sigs, sim_threshold)}
+        sigs = pdf["masked_sig"].tolist()
+        convs = pdf["first_conv"].tolist()
+        turns = pdf["first_turn"].tolist()
+        order = sorted(range(len(sigs)), key=lambda i: (convs[i], turns[i]))
+
+        # Inlined drain leaf loop (findBestMatch ≥ threshold → generalize,
+        # else create; drain.go:243-276,345-363), tuned for large groups.
+        clusters: list[list] = []  # [tokens, members, anchor]
+        for i in order:
+            tokens = sigs[i].split(" ")
+            n = len(tokens)
+            best = None
+            best_sim = sim_threshold
+            for c in clusters:
+                t = c[0]
+                if len(t) != n:
+                    continue
+                m = 0
+                for a, b in zip(t, tokens):
+                    if a == b or a == WILDCARD:
+                        m += 1
+                sim = m / n
+                if sim >= best_sim and (best is None or sim > best_sim):
+                    best_sim = sim
+                    best = c
+            if best is None:
+                clusters.append([tokens, [i], i])
+            else:
+                t = best[0]
+                best[0] = [a if a == b else WILDCARD for a, b in zip(t, tokens)]
+                best[1].append(i)
+
+        by_template: dict[str, tuple[list, set]] = {}
+        for c in clusters:
+            template = " ".join(c[0])
+            slot = by_template.setdefault(template, ([], set()))
+            slot[0].extend(c[1])
+            slot[1].add(c[2])
+
+        tid_arr = [""] * len(sigs)
+        tmpl_arr = [""] * len(sigs)
+        creates_arr = [False] * len(sigs)
+        for template, (members, anchors) in by_template.items():
+            tid = template_id_of(template)
+            for i in members:
+                tid_arr[i] = tid
+                tmpl_arr[i] = template
+                creates_arr[i] = i in anchors
         return pd.DataFrame(
             {
-                "masked_sig": pdf["masked_sig"],
-                "template_id": [assignments[s].template_id for s in pdf["masked_sig"]],
-                "template": [assignments[s].template for s in pdf["masked_sig"]],
-                "creates": [assignments[s].creates for s in pdf["masked_sig"]],
-                "weight": pdf["weight"],
-                "first_seen": pdf["first_seen"],
-                "last_seen": pdf["last_seen"],
-                "first_conv": pdf["first_conv"],
-                "first_turn": pdf["first_turn"],
+                "masked_sig": sigs,
+                "template_id": tid_arr,
+                "template": tmpl_arr,
+                "creates": creates_arr,
             }
         )
 
     return cluster_group
 
 
-def mine_assignments(masked: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
-    """Stages 2+3: masked rows → per-signature template assignments."""
+def mine_assignments(
+    masked: DataFrame,
+    config: PipelineConfig | None = None,
+    cache_sig_stats: bool = True,
+) -> DataFrame:
+    """Stages 2+3: masked rows → per-signature template assignments.
+
+    ``sig_stats`` feeds the clusterer (slim columns through Arrow) AND the
+    stats join-back; without caching, both branches would re-run the full
+    input aggregation. It is one row per distinct signature — small by the
+    same assumption that makes the whole design work.
+    """
     config = config or PipelineConfig()
     sig_stats = _sig_stats(masked, collect_samples=False)
+    if cache_sig_stats:
+        sig_stats = sig_stats.persist()
     udf = _make_cluster_udf(config.drain.sim_threshold)
-    return sig_stats.groupBy(*_LEAF_KEYS).applyInPandas(udf, schema=ASSIGNMENTS)
+    slim = sig_stats.select(*_LEAF_KEYS, "masked_sig", "first_conv", "first_turn")
+    clustered = slim.groupBy(*_LEAF_KEYS).applyInPandas(udf, schema=_CLUSTER_OUT)
+    # Join the stats back onto the tiny clustered table (both sides are one
+    # row per distinct signature).
+    return clustered.join(
+        sig_stats.select(
+            "masked_sig", "weight", "first_seen", "last_seen", "first_conv", "first_turn"
+        ),
+        on="masked_sig",
+    ).select([f.name for f in ASSIGNMENTS.fields])
 
 
 def templates_from_assignments(

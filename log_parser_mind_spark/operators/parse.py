@@ -103,13 +103,26 @@ def finalize_parsed(assigned: DataFrame, config: PipelineConfig | None = None) -
     )
 
 
-def parse_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None):
-    """Convenience: transcripts → (parsed_turns, templates, assignments)."""
+def parse_pipeline(
+    transcripts: DataFrame,
+    config: PipelineConfig | None = None,
+    cache_assignments: bool = True,
+):
+    """Convenience: transcripts → (parsed_turns, templates, assignments).
+
+    ``assignments`` is tiny (one row per distinct masked signature) but sits
+    upstream of BOTH the templates dimension and the row-level join — without
+    caching, every downstream sink re-runs the whole mining pass over the
+    full input. Persisting it is the difference between one 100 TB scan per
+    sink and one total.
+    """
     from .miner import assign_templates, mine_assignments, templates_from_assignments
 
     config = config or PipelineConfig()
     masked = masked_transcripts(transcripts, config.drain.max_depth)
     assignments = mine_assignments(masked, config)
+    if cache_assignments:
+        assignments = assignments.persist()
     templates = templates_from_assignments(assignments)
     parsed = finalize_parsed(assign_templates(masked, assignments, config), config)
     return parsed, templates, assignments

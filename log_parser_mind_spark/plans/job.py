@@ -22,10 +22,41 @@ from ..operators import aggregate as agg
 from ..operators.anomaly import detect_all
 from ..operators.enrich import enrich_with_lookup, role_tool_lookup
 from ..operators.parse import parse_pipeline
-from ..operators.route import fan_out, with_route
+from ..operators.route import DEFAULT_ROUTES, with_route
 from ..sources.manifest import SnapshotStore
 
 PARSED_SORT = ["source", "template_id", "ts"]  # 001_clickhouse_schema.sql:21 sort key
+
+
+def timed_pipeline_stages(spark, transcripts, config=None) -> dict[str, float]:
+    """Per-stage wall times of the flagship pipeline (bench/debug aid)."""
+    import time as _time
+
+    from ..operators.parse import finalize_parsed, masked_transcripts
+    from ..operators import miner as _miner
+
+    config = config or PipelineConfig()
+    out: dict[str, float] = {}
+
+    def t(name, fn):
+        t0 = _time.time()
+        r = fn()
+        out[name] = round(_time.time() - t0, 2)
+        return r
+
+    masked = masked_transcripts(transcripts, config.drain.max_depth)
+    assignments = _miner.mine_assignments(masked, config).persist()
+    t("mine", lambda: assignments.count())
+    parsed = finalize_parsed(_miner.assign_templates(masked, assignments, config), config)
+    parsed = with_route(enrich_with_lookup(parsed, role_tool_lookup(spark))).persist()
+    t("parse_finalize", lambda: parsed.write.format("noop").mode("overwrite").save())
+    t("aggregates", lambda: [
+        df.write.format("noop").mode("overwrite").save()
+        for df in _downstream_sinks(parsed, config, None).values()
+    ])
+    parsed.unpersist()
+    assignments.unpersist()
+    return out
 
 
 @dataclass
@@ -33,6 +64,25 @@ class JobResult:
     sinks: dict[str, DataFrame]
     timings: dict[str, float] = field(default_factory=dict)
     resumed: list[str] = field(default_factory=list)
+
+
+def _downstream_sinks(
+    parsed: DataFrame, config: PipelineConfig, now: str | None
+) -> dict[str, DataFrame]:
+    """Aggregate/fan-out sinks derived from an (already enriched+routed)
+    parsed_turns DataFrame — reusable over either the lazy plan or a
+    committed snapshot."""
+    sinks: dict[str, DataFrame] = {
+        "hourly_rollup": agg.hourly_rollup(parsed),
+        "error_rates": agg.error_rates(parsed),
+        "top_templates": agg.top_templates(parsed),
+        "global_stats": agg.global_stats(parsed),
+    }
+    for r in DEFAULT_ROUTES:
+        sinks[f"route_{r.name}"] = parsed.filter(r.predicate)
+    if now is not None:
+        sinks["alerts"] = detect_all(parsed, now, config.anomaly)
+    return sinks
 
 
 def build_sinks(
@@ -44,20 +94,9 @@ def build_sinks(
     """Build every sink DataFrame lazily from one shared parse plan."""
     config = config or PipelineConfig()
     parsed, templates, _ = parse_pipeline(transcripts, config)
-    enriched = enrich_with_lookup(parsed, role_tool_lookup(spark))
-    routed = with_route(enriched)
-    sinks: dict[str, DataFrame] = {
-        "parsed_turns": routed,
-        "templates": templates,
-        "hourly_rollup": agg.hourly_rollup(parsed),
-        "error_rates": agg.error_rates(parsed),
-        "top_templates": agg.top_templates(parsed),
-        "global_stats": agg.global_stats(parsed),
-    }
-    for name, df in fan_out(enriched).items():
-        sinks[f"route_{name}"] = df
-    if now is not None:
-        sinks["alerts"] = detect_all(parsed, now, config.anomaly)
+    enriched = with_route(enrich_with_lookup(parsed, role_tool_lookup(spark)))
+    sinks: dict[str, DataFrame] = {"parsed_turns": enriched, "templates": templates}
+    sinks.update(_downstream_sinks(enriched, config, now))
     return sinks
 
 
@@ -73,31 +112,43 @@ def run(
     """Execute the job. With ``root`` set, each sink is committed as a
     snapshot; on re-run with the same run_id, sinks already committed by that
     run are skipped (resume-from-checkpoint, north rule)."""
-    sinks = build_sinks(spark, transcripts, config, now)
+    config = config or PipelineConfig()
     if root is None:
-        return JobResult(sinks=sinks)
+        return JobResult(sinks=build_sinks(spark, transcripts, config, now))
 
     store = SnapshotStore(spark, root)
     result = JobResult(sinks={})
-    # parsed_turns is the expensive stage: commit it first, then let every
-    # downstream aggregate read the committed snapshot instead of re-parsing.
-    order = ["parsed_turns", "templates"] + [
-        k for k in sinks if k not in ("parsed_turns", "templates")
-    ]
     done = _committed_by_run(store, run_id) if resume else set()
-    for name in order:
+
+    def commit_stage(name: str, df_fn, sort=None) -> None:
         if name in done:
             result.resumed.append(name)
             result.sinks[name] = store.read(name)
-            continue
-        df = sinks[name]
-        if name not in ("parsed_turns", "templates") and "parsed_turns" in result.sinks:
-            pass  # aggregates were built on the same lazy plan; acceptable to recompute
+            return
         t0 = time.time()
-        sort = PARSED_SORT if name == "parsed_turns" else None
-        store.commit(df, name, run_id=run_id, sort_within_partitions=sort)
+        store.commit(df_fn(), name, run_id=run_id, sort_within_partitions=sort)
         result.timings[name] = time.time() - t0
         result.sinks[name] = store.read(name)
+
+    # Stage 1-2: the expensive parse+mine pass, committed once; every
+    # downstream aggregate then reads the committed columnar snapshot instead
+    # of re-scanning the raw input (one big scan total, not one per sink).
+    parsed_lazy = templates_lazy = None
+
+    def build_parse():
+        nonlocal parsed_lazy, templates_lazy
+        if parsed_lazy is None:
+            p, t, _ = parse_pipeline(transcripts, config)
+            parsed_lazy = with_route(enrich_with_lookup(p, role_tool_lookup(spark)))
+            templates_lazy = t
+        return parsed_lazy, templates_lazy
+
+    commit_stage("parsed_turns", lambda: build_parse()[0], sort=PARSED_SORT)
+    commit_stage("templates", lambda: build_parse()[1])
+
+    parsed_committed = result.sinks["parsed_turns"]
+    for name, df in _downstream_sinks(parsed_committed, config, now).items():
+        commit_stage(name, lambda df=df: df)
     return result
 
 

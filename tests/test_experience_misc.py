@@ -1,0 +1,85 @@
+"""Experience store (S12/J4/J5), custom redaction patterns (X2), code-fence
+stripping (F17), sustainability metrics (A14)."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_parser_mind_spark.functions import text as tx
+from log_parser_mind_spark.functions.redaction import redact_expr
+from log_parser_mind_spark.config import RedactorConfig
+from log_parser_mind_spark.operators import experience as ex
+
+
+@pytest.fixture(scope="module")
+def experiences(spark):
+    rows = [
+        ("e1", "db connection refused", "restart pool", ["systemctl restart app"],
+         True, 0.9, [1.0, 0.0, 0.0], dt.datetime(2024, 1, 1)),
+        ("e2", "db connection refused port 5432", "fix firewall", ["ufw allow 5432"],
+         True, 0.7, [0.9, 0.1, 0.0], dt.datetime(2024, 1, 2)),
+        ("e3", "out of memory", "raise limits", ["kubectl set resources"],
+         False, 0.4, [0.0, 1.0, 0.0], dt.datetime(2024, 1, 3)),
+    ]
+    return spark.createDataFrame(rows, ex.EXPERIENCES)
+
+
+def test_search_similar_substring_rank(experiences):
+    got = [r.experience_id for r in ex.search_similar(experiences, "DB Connection Refused").collect()]
+    assert got == ["e1", "e2"]  # confidence-ranked; e3 filtered
+
+
+def test_search_by_embedding(experiences):
+    got = [r.experience_id for r in ex.search_by_embedding(experiences, [1.0, 0.05, 0.0], top_k=2).collect()]
+    assert got[0] in ("e1", "e2") and len(got) == 2
+
+
+def test_learning_stats(experiences):
+    row = ex.learning_stats(experiences).collect()[0]
+    assert row.total_experiences == 3
+    assert row.successful == 2
+    assert abs(row.avg_success_confidence - 0.8) < 1e-9
+    assert row.unique_issues == 3
+
+
+def test_insert_if_absent(experiences, spark):
+    new = spark.createDataFrame(
+        [("e4", "db connection refused", None, None, None, None, None, None),
+         ("e5", "disk full", None, None, None, None, None, None)],
+        ex.EXPERIENCES,
+    )
+    merged = ex.insert_if_absent(experiences, new)
+    sigs = sorted(r.issue_signature for r in merged.collect())
+    assert sigs.count("db connection refused") == 1  # conflict skipped
+    assert "disk full" in sigs
+
+
+def test_custom_redaction_patterns(spark):
+    cfg = RedactorConfig(custom_patterns={"apikey": r"ak_[a-z0-9]{8}"})
+    df = spark.createDataFrame([("key ak_a1b2c3d4 used by a@b.co",)], "text string")
+    got = df.select(redact_expr(F.col("text"), cfg).alias("r")).collect()[0].r
+    assert got == "key [REDACTED] used by [EMAIL_REDACTED]"
+
+
+def test_strip_code_fences(spark):
+    df = spark.createDataFrame(
+        [('```json\n{"a": 1}\n```',), ("no fences",), ("```\nplain\n```",)], "text string"
+    )
+    got = [r.s for r in df.select(tx.strip_code_fences_expr(F.col("text")).alias("s")).collect()]
+    assert got == ['{"a": 1}', "no fences", "plain"]
+
+
+def test_sustainability_metrics(spark):
+    from log_parser_mind_spark.operators.aggregate import sustainability_metrics
+
+    stats = spark.createDataFrame(
+        [(100, 5, 10 * 1024**3, 2 * 1024**3, 0.2)],
+        "total_logs long, unique_templates long, total_original_size long, "
+        "total_compressed_size long, compression_ratio double",
+    )
+    row = sustainability_metrics(stats).collect()[0]
+    assert row.bytes_saved == 8 * 1024**3
+    assert abs(row.co2_kg_saved - 8 * 0.0002) < 1e-9
+    assert abs(row.cost_usd_saved - 8 * 0.023) < 1e-9

@@ -1,0 +1,105 @@
+"""Physical-plan quality gates: the properties that make the engine survive
+100 TB, asserted on `.explain` output so regressions fail loudly.
+
+  - filter/projection pushdown reaches the parquet scan (PushedFilters /
+    ReadSchema)
+  - enrichment joins are broadcast, never shuffled-hash/sort-merge
+  - aggregates are two-phase (partial_ before the exchange = map-side combine)
+  - the mask/parse projection stays inside WholeStageCodegen (no Python in
+    the hot path)
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_parser_mind_spark.operators import aggregate as agg
+from log_parser_mind_spark.operators.enrich import enrich_with_lookup, role_tool_lookup
+from log_parser_mind_spark.operators.parse import masked_transcripts
+from log_parser_mind_spark.operators.query import query_logs
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def parsed_on_disk(spark, tmp_path_factory):
+    from log_parser_mind_spark.operators.parse import parse_pipeline
+    from log_parser_mind_spark.synth import synth_transcripts
+
+    path = str(tmp_path_factory.mktemp("plans") / "parsed")
+    parsed, _, _ = parse_pipeline(synth_transcripts(spark, n_convs=20, seed=5))
+    parsed.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_filter_pushdown_reaches_scan(parsed_on_disk):
+    q = query_logs(parsed_on_disk, template_id="tmpl_x", source="user", limit=10)
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "template_id" in plan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning_reaches_scan(parsed_on_disk):
+    q = parsed_on_disk.select("template_id").filter(F.col("source") == "user")
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "template_id" in read_schema
+    assert "variables" not in read_schema  # unused wide column pruned
+
+
+def test_enrich_join_is_broadcast(spark, parsed_on_disk):
+    enriched = enrich_with_lookup(parsed_on_disk, role_tool_lookup(spark))
+    plan = _plan(enriched)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_aggregates_have_partial_phase(parsed_on_disk):
+    plan = _plan(agg.hourly_rollup(parsed_on_disk))
+    # Two HashAggregates around one Exchange = map-side combine.
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_topk_is_take_ordered(parsed_on_disk):
+    plan = _plan(agg.top_templates(parsed_on_disk))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mask_stage_is_codegen_no_python(spark):
+    tr = spark.createDataFrame(
+        [("c", 0, "user", "ERROR: x at 10.0.0.1", "none", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(masked_transcripts(tr, 4).select("masked_sig", "n_tokens", "k0", "k1"))
+    # formatted explain marks whole-stage-codegen nodes with '*' + codegen id.
+    assert "codegen id" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_miner_python_stage_is_only_on_sig_stats(spark):
+    """The ONLY Python operator in the whole parse plan is the per-leaf
+    clustering over distinct signatures — never over raw rows."""
+    from log_parser_mind_spark.operators.parse import parse_pipeline
+    from log_parser_mind_spark.synth import synth_transcripts
+
+    from log_parser_mind_spark.operators.miner import mine_assignments
+    from log_parser_mind_spark.operators.parse import masked_transcripts
+
+    masked = masked_transcripts(synth_transcripts(spark, n_convs=5, seed=5), 4)
+    plan = _plan(mine_assignments(masked, cache_sig_stats=False))
+    # formatted explain prints each operator twice (tree line + detail block).
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    # The pandas stage consumes an aggregate (distinct sigs), not the scan:
+    # the miner plan must contain the signature aggregation.
+    assert any(m in plan for m in ("HashAggregate", "ObjectHashAggregate", "SortAggregate"))
+    # No row-level Python anywhere in the full parsed plan.
+    parsed, _, _ = parse_pipeline(
+        synth_transcripts(spark, n_convs=5, seed=5), cache_assignments=False
+    )
+    full = _plan(parsed)
+    assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
