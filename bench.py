@@ -45,7 +45,11 @@ def run_pipeline(spark, transcripts):
     import shutil
     import tempfile
 
-    parsed_lazy, templates, _ = parse_pipeline(transcripts, PipelineConfig())
+    # include_text=False: the reference sink stores template+variables, not
+    # the raw line (001_clickhouse_schema.sql:10-23).
+    parsed_lazy, templates, _ = parse_pipeline(
+        transcripts, PipelineConfig(), include_text=False
+    )
     # Write the parsed sink once, aggregate from the columnar snapshot —
     # an in-memory persist of these wide rows costs ~60 s of cache build
     # regardless of cores (measured) and flattens scaling.

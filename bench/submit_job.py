@@ -40,12 +40,25 @@ def main() -> None:
     n_partitions = int(sys.argv[2]) if len(sys.argv) > 2 else cores * 4
     spark.conf.set("spark.sql.shuffle.partitions", str(cores))
 
-    transcripts = spark.read.schema(TRANSCRIPTS).parquet(path).repartition(n_partitions)
+    # Split the input into ~n_partitions read splits instead of shuffling it
+    # into shape: a repartition() of raw text rows is a full exchange that
+    # exists only to set parallelism — file-split sizing does it for free.
+    import glob as _glob
+
+    input_bytes = sum(os.path.getsize(p) for p in _glob.glob(os.path.join(path, "*.parquet")))
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(max(input_bytes // n_partitions, 1 << 20))
+    )
+    transcripts = spark.read.schema(TRANSCRIPTS).parquet(path)
     n_turns = transcripts.count()  # warm the file listing outside the timed region
     sink = tempfile.mkdtemp(prefix="logmind_bench_") + "/parsed_turns"
 
     t0 = time.time()
-    parsed_lazy, templates, _ = parse_pipeline(transcripts, PipelineConfig())
+    # include_text=False: the reference sink stores template+variables, not
+    # the raw line (001_clickhouse_schema.sql:10-23).
+    parsed_lazy, templates, _ = parse_pipeline(
+        transcripts, PipelineConfig(), include_text=False
+    )
     parsed_lazy = with_route(enrich_with_lookup(parsed_lazy, role_tool_lookup(spark)))
     # One expensive pass: write the parsed_turns sink (the real pipeline
     # output), then compute every aggregate from the committed columnar

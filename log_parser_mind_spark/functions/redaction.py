@@ -71,8 +71,21 @@ def redact_expr(text: Column, config: RedactorConfig | None = None) -> Column:
 
 
 def redact_map_values_expr(variables: Column, config: RedactorConfig | None = None) -> Column:
-    """RedactVariables (redactor.go:110-121) over a Map<String,String> column."""
-    return F.transform_values(variables, lambda _k, v: redact_expr(v, config))
+    """RedactVariables (redactor.go:110-121) over a Map<String,String> column.
+
+    Hot-path shape: one combined rlike gates the 4-6 regexp_replace chain —
+    most variable values carry no PII, so the common case pays a single
+    regex scan instead of one per pattern (same output by construction:
+    values not matching any pattern are replace no-ops).
+    """
+    pats = active_patterns(config)
+    if not pats:
+        return variables
+    combined = "|".join(f"(?:{p})" for _, p, _ in pats)
+    return F.transform_values(
+        variables,
+        lambda _k, v: F.when(v.rlike(combined), redact_expr(v, config)).otherwise(v),
+    )
 
 
 def detect_pii_expr(text: Column, config: RedactorConfig | None = None) -> Column:

@@ -39,9 +39,24 @@ from ..schemas import ASSIGNMENTS
 _LEAF_KEYS = ["n_tokens", "k0", "k1"]
 
 
-def _sig_stats(masked: DataFrame, collect_samples: bool) -> DataFrame:
+def leaf_keys_from_sig(max_depth: int = 4) -> list:
+    """Tree-leaf coordinates + 8-byte join key, derived from the signature
+    STRING — applied post-aggregation so only one row per distinct signature
+    pays the split (see parse.masked_transcripts on why not at row level)."""
+    toks = F.split(F.col("masked_sig"), " ")
+    n = F.size(toks)
+    cols = [n.alias("n_tokens")]
+    for i in range(max_depth - 2):
+        cols.append(F.when(n > F.lit(i + 1), F.element_at(toks, i + 1)).alias(f"k{i}"))
+    cols.append(F.xxhash64("masked_sig").alias("sig_id"))
+    return cols
+
+
+def _sig_stats(masked: DataFrame, collect_samples: bool, max_depth: int = 4) -> DataFrame:
     """Stage 2: per-signature stats. ``masked`` must carry conv_id, turn_idx,
-    ts, text, masked_sig, n_tokens, k0, k1 (from parse.masked_transcripts)."""
+    ts, text, masked_sig (from parse.masked_transcripts). The single groupBy
+    key is the signature string — the mask expression evaluates exactly once
+    per row."""
     aggs = [
         F.count(F.lit(1)).alias("weight"),
         F.min("ts").alias("first_seen"),
@@ -53,9 +68,12 @@ def _sig_stats(masked: DataFrame, collect_samples: bool) -> DataFrame:
         # the reference never actually populates SampleLogs (drain.go:290,
         # no append anywhere), so even this is a superset of its behavior.
         aggs.append(F.min(F.struct("conv_id", "turn_idx", "text")).alias("first_example"))
-    out = masked.filter(F.col("n_tokens") > 0).groupBy(*_LEAF_KEYS, "masked_sig").agg(*aggs)
+    # Empty-sig rows (blank/NULL text) are dropped AFTER the aggregation —
+    # a pre-agg filter would reference the sig alias a second time and
+    # re-evaluate the mask per row.
+    out = masked.groupBy("masked_sig").agg(*aggs).filter(F.col("masked_sig") != "")
     return out.select(
-        *_LEAF_KEYS,
+        *leaf_keys_from_sig(max_depth),
         "masked_sig",
         "weight",
         "first_seen",
@@ -150,7 +168,7 @@ def mine_assignments(
     same assumption that makes the whole design work.
     """
     config = config or PipelineConfig()
-    sig_stats = _sig_stats(masked, collect_samples=False)
+    sig_stats = _sig_stats(masked, collect_samples=False, max_depth=config.drain.max_depth)
     if cache_sig_stats:
         sig_stats = sig_stats.persist()
     udf = _make_cluster_udf(config.drain.sim_threshold)
@@ -160,10 +178,11 @@ def mine_assignments(
     # row per distinct signature).
     return clustered.join(
         sig_stats.select(
-            "masked_sig", "weight", "first_seen", "last_seen", "first_conv", "first_turn"
+            "sig_id", "masked_sig", "weight", "first_seen", "last_seen",
+            "first_conv", "first_turn",
         ),
         on="masked_sig",
-    ).select([f.name for f in ASSIGNMENTS.fields])
+    ).select("sig_id", *[f.name for f in ASSIGNMENTS.fields])
 
 
 def templates_from_assignments(
@@ -205,11 +224,21 @@ def assign_templates(
     """
     config = config or PipelineConfig()
     amap = assignments.select(
-        "masked_sig", "template_id", "template", "creates", "first_conv", "first_turn"
+        "sig_id", "template_id", "template", "creates", "first_conv", "first_turn"
     )
-    if config.broadcast_assignments is True:
+    if config.broadcast_assignments in (True, None):
+        # Default: broadcast. The map is one row per distinct signature —
+        # small by design — and without the hint Spark falls back to a
+        # sort-merge join past the 10 MB auto threshold, shuffling the whole
+        # fact table on string keys (measured as the write stage's dominant
+        # cost). Set broadcast_assignments=False only for pathological
+        # corpora where distinct signatures rival row count.
         amap = F.broadcast(amap)
-    joined = masked.join(amap, on="masked_sig", how="left")
+    # The row-side join key is the only masked-derived expression in this
+    # pass — one mask evaluation per row, total.
+    joined = masked.withColumn("sig_id", F.xxhash64("masked_sig")).join(
+        amap, on="sig_id", how="left"
+    )
     return joined.withColumn(
         "is_new",
         F.when(F.col("template_id").isNull(), F.lit(None).cast("boolean")).otherwise(

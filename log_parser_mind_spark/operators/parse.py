@@ -21,24 +21,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..config import WILDCARD, PipelineConfig
-from ..functions.masking import (
-    leaf_key_exprs,
-    masked_sig_expr,
-    masked_tokens_expr,
-    tokens_expr,
-)
+from ..functions.masking import masked_sig_expr, masked_tokens_expr, tokens_expr
 from ..functions.redaction import redact_map_values_expr
 
 
 def masked_transcripts(transcripts: DataFrame, max_depth: int = 4) -> DataFrame:
-    """Stage 1: add tokens / masked signature / tree-leaf coordinates."""
+    """Stage 1: add tokens + the masked signature.
+
+    The masked signature is the ONLY expensive expression (a regex pass per
+    token), and it is deliberately the only masked-derived column here:
+    Catalyst inlines alias references, and higher-order-function chains are
+    not codegen-CSE'd, so deriving n_tokens/k0/k1/sig_id from masked tokens
+    at row level re-evaluated the whole regex mask once per reference
+    (measured ~5× the CPU of the entire big-data pass). Tree-leaf keys and
+    the hash join key are instead derived AFTER the signature aggregation,
+    where only one row per distinct signature pays the re-parse
+    (miner.leaf_keys_from_sig)."""
     df = transcripts.withColumn("tokens", tokens_expr(F.col("text")))
-    df = df.withColumn("masked_tokens", masked_tokens_expr(F.col("tokens")))
-    keys = leaf_key_exprs(F.col("masked_tokens"), max_depth)
-    return df.select(
-        "*",
-        masked_sig_expr(F.col("masked_tokens")).alias("masked_sig"),
-        *keys,
+    return df.withColumn(
+        "masked_sig", masked_sig_expr(masked_tokens_expr(F.col("tokens")))
     )
 
 
@@ -73,9 +74,20 @@ def log_id_expr(conv_id: Column, turn_idx: Column) -> Column:
     return F.concat(F.lit("log_"), F.lower(F.hex(F.xxhash64(conv_id, turn_idx))))
 
 
-def finalize_parsed(assigned: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
+def finalize_parsed(
+    assigned: DataFrame,
+    config: PipelineConfig | None = None,
+    include_text: bool = True,
+) -> DataFrame:
     """Stage 5: variables + redaction + sizes + ids → the parsed_turns sink
-    schema (schemas.PARSED_TURNS). ``assigned`` = output of miner.assign_templates."""
+    schema (schemas.PARSED_TURNS). ``assigned`` = output of miner.assign_templates.
+
+    ``include_text=False`` matches the reference sink exactly — compressed_logs
+    stores template+variables, never the raw line (001_clickhouse_schema.sql:
+    10-23; storing it would defeat the compression) — and roughly halves sink
+    bytes. The default keeps the pass-through column for per-turn equality
+    verification.
+    """
     config = config or PipelineConfig()
     template_tokens = F.split(F.col("template"), " ")
     df = assigned.withColumn(
@@ -91,7 +103,7 @@ def finalize_parsed(assigned: DataFrame, config: PipelineConfig | None = None) -
         "ts",
         F.col("role").alias("source"),
         "tool",
-        "text",
+        *(["text"] if include_text else []),
         "template_id",
         "template",
         "variables",
@@ -107,6 +119,7 @@ def parse_pipeline(
     transcripts: DataFrame,
     config: PipelineConfig | None = None,
     cache_assignments: bool = True,
+    include_text: bool = True,
 ):
     """Convenience: transcripts → (parsed_turns, templates, assignments).
 
@@ -124,5 +137,7 @@ def parse_pipeline(
     if cache_assignments:
         assignments = assignments.persist()
     templates = templates_from_assignments(assignments)
-    parsed = finalize_parsed(assign_templates(masked, assignments, config), config)
+    parsed = finalize_parsed(
+        assign_templates(masked, assignments, config), config, include_text=include_text
+    )
     return parsed, templates, assignments

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # zstd for shuffle + parquet: measured fastest at every size ≥ 8
+        # threads AND the best thread-scaling — it trades memory/disk traffic
+        # for parallelizable compute (BENCH/BASELINE.md).
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -74,7 +74,7 @@ def test_mask_stage_is_codegen_no_python(spark):
         [("c", 0, "user", "ERROR: x at 10.0.0.1", "none", None)],
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
     )
-    plan = _plan(masked_transcripts(tr, 4).select("masked_sig", "n_tokens", "k0", "k1"))
+    plan = _plan(masked_transcripts(tr, 4).select("masked_sig"))
     # formatted explain marks whole-stage-codegen nodes with '*' + codegen id.
     assert "codegen id" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
