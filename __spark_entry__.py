@@ -360,6 +360,52 @@ QUALIFY rank <= 3
 """
 
 
+def q_strip_fences(spark, sf_dir):
+    """F17 — code-fence stripping over fenced documents (fences synthesized
+    deterministically so the operator has something to strip)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fenced = F.concat(F.lit("```json\n"), F.substring("text", 1, 40), F.lit("\n```"))
+    return docs.select("doc_id", tx.strip_code_fences_expr(fenced).alias("stripped"))
+
+
+_ORACLE_STRIP_FENCES = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace('```json' || chr(10) || substr(text, 1, 40) || chr(10) || '```',
+                                          '^\\s*```(?:json|JSON)?\\s*\\n?', ''),
+                           '\\n?```\\s*$', '')) AS stripped
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_sustainability(spark, sf_dir):
+    """A14 — derived compression/bytes-saved metrics over per-type stats."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(F.octet_length("props")).cast("long").alias("total_original_size"),
+    ).withColumn("total_compressed_size", F.expr("total_original_size div 4"))
+    saved = F.col("total_original_size") - F.col("total_compressed_size")
+    return stats.select(
+        "event_type",
+        saved.alias("bytes_saved"),
+        F.round(saved / F.lit(1024.0**3) * 0.0002, 12).alias("co2_kg_saved"),
+        F.round(saved / F.lit(1024.0**3) * 0.023, 12).alias("cost_usd_saved"),
+    )
+
+
+_ORACLE_SUSTAINABILITY = """
+WITH stats AS (
+  SELECT event_type,
+         cast(sum(strlen(props)) AS BIGINT) AS orig,
+         cast(sum(strlen(props)) AS BIGINT) // 4 AS comp
+  FROM events GROUP BY event_type
+)
+SELECT event_type, orig - comp AS bytes_saved,
+       round((orig - comp) / (1024.0*1024*1024) * 0.0002, 12) AS co2_kg_saved,
+       round((orig - comp) / (1024.0*1024*1024) * 0.023, 12) AS cost_usd_saved
+FROM stats
+"""
+
+
 # ---------------------------------------------------------------------------
 # Filters / projections / predicates over events (P7-P11)
 # ---------------------------------------------------------------------------
@@ -835,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_pii": q_detect_pii,
         "mask_partial": q_mask_partial,
         "doc_sizes": q_doc_sizes,
+        "strip_fences": q_strip_fences,
+        "sustainability": q_sustainability,
         # text analysis
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -878,6 +926,8 @@ def oracle_sql() -> dict[str, str]:
         "detect_pii": _oracle_detect_pii(),
         "mask_partial": _ORACLE_MASK_PARTIAL,
         "doc_sizes": _ORACLE_DOC_SIZES,
+        "strip_fences": _ORACLE_STRIP_FENCES,
+        "sustainability": _ORACLE_SUSTAINABILITY,
         "token_counts": _ORACLE_TOKEN_COUNTS,
         "lang_id": _oracle_lang_id(),
         "quality_scores": _oracle_quality(),

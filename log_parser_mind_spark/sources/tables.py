@@ -53,6 +53,22 @@ def write_transcripts(
         ).write.mode("overwrite").parquet(path)
 
 
+def repartition_salted(
+    df: DataFrame, key: str, n_partitions: int, salt_buckets: int = 16
+) -> DataFrame:
+    """Salted hash repartitioning for skewed keys (north rule; SURVEY §4.2).
+
+    A plain ``repartition(n, key)`` sends every row of a hot key (a 100×-turn
+    conversation) to ONE partition; salting spreads each key over
+    ``salt_buckets`` partitions deterministically. Use for per-row stages that
+    partition by conv_id; keyed aggregations don't need it (map-side partial
+    aggregation absorbs the skew), and joins get AQE skew splitting
+    (spark.sql.adaptive.skewJoin.enabled, on by default in session.py).
+    """
+    salt = F.pmod(F.xxhash64(F.col(key), F.col("turn_idx") if "turn_idx" in df.columns else F.lit(0)), F.lit(salt_buckets))
+    return df.repartition(n_partitions, F.col(key), salt)
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
