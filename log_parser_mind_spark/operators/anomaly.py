@@ -65,11 +65,21 @@ def _detect(
     recent = recent_window(
         series, now, window_minutes=config.window_minutes, agg=recent_agg
     )
-    joined = recent.join(F.broadcast(base), on="key", how="inner")
     if recent_agg == "sum":
+        # Error path: a key with zero recent errors has z=(0−μ)/σ < 0, never
+        # above the threshold, so the inner join is equivalent and cheaper.
+        joined = recent.join(F.broadcast(base), on="key", how="inner")
         z = (F.col("recent") - F.col("mean")) / F.col("stddev")
         thr = F.col("mean") + F.col("stddev") * F.lit(threshold)
     else:
+        # Volume path: TOTAL SILENCE is the canonical drop case — the
+        # reference computes recentVolume=0 for a key with no recent events
+        # (cmd/anomaly/main.go:164-222). recent_window produces no row for
+        # such a key, so baselines must be the driving side of a left join
+        # with recent coalesced to 0.
+        joined = base.join(F.broadcast(recent), on="key", how="left").withColumn(
+            "recent", F.coalesce(F.col("recent"), F.lit(0.0))
+        )
         z = F.abs(F.col("recent") - F.col("mean")) / F.col("stddev")
         thr = F.col("mean")
     return (

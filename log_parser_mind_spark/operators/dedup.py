@@ -7,11 +7,12 @@ Five strategies, each scale-shaped for 100 TB:
   minhash LSH    — shingle → k minhashes via k seeded xxhash64 (all JVM-side,
                    no Python) → band buckets → candidate pairs via bucket
                    self-join → exact-Jaccard verify on candidates only.
-  simhash        — 64-bit weighted-majority fingerprint per doc (vectorized
-                   pandas UDF over Arrow batches); near-dups = identical
-                   simhash (or identical band for hamming≤k via rotations).
+  simhash        — 64-bit majority-vote fingerprint per doc, all JVM-side:
+                   explode(tokens) → xxhash64 → 64 conditional-sum bit votes;
+                   near-dups = identical simhash (or identical band for
+                   hamming≤k via rotations).
   n-gram Jaccard — exact token-shingle Jaccard via explode + equi-join +
-                   group count; bounded by a candidate filter.
+                   group count; a candidate set prunes BEFORE the self-join.
   embedding      — cosine near-dup over array<float>; brute-force on
                    candidates from LSH hyperplane buckets (similarity.py).
 
@@ -20,10 +21,7 @@ All thresholds/seeds are parameters; everything is deterministic.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 
 def normalized_text(col):
@@ -44,9 +42,17 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles_expr(text_col, n: int = 3):
-    """Word n-gram shingles as an array column (JVM-side)."""
+    """Word n-gram shingles as an array column (JVM-side).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array — the guard is
+    load-bearing: ``sequence(1, size-(n-1))`` on a short doc would produce a
+    DESCENDING [1, 0] (Spark auto-steps -1) and ``slice(toks, 0, n)`` then
+    throws INVALID_PARAMETER_VALUE.START, poisoning the whole job on any
+    corpus containing a short or blank document."""
     toks = F.split(normalized_text(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
@@ -137,6 +143,20 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
+    if candidates is not None:
+        # Prune BEFORE the self-join: Catalyst cannot push a pair-level
+        # semi-join through the aggregation, so filtering `inter` alone would
+        # still pay the full all-pairs shingle join. Restricting the exploded
+        # shingle table to candidate doc ids first means the expensive join
+        # runs only over candidate docs; the pair-level semi-join below then
+        # drops cross pairs between unrelated candidates.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .union(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        a = sh.join(F.broadcast(cand_ids), "id", "left_semi").alias("a")
+        b = sh.join(F.broadcast(cand_ids), "id", "left_semi").alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -159,50 +179,37 @@ def ngram_jaccard_pairs(
     )
 
 
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType()),
-        T.StructField("simhash", T.LongType()),
-    ]
-)
-
-
 def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: per-token 64-bit hash, weighted bit-majority.
-    Vectorized numpy inside mapInPandas (Arrow batches); deterministic FNV-64a
-    token hashing so parallelism never changes the fingerprint."""
+    """64-bit SimHash per document, entirely JVM-side (zero Python in the plan):
 
-    def compute(it):
-        for pdf in it:
-            out_ids, out_hashes = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                tokens = (text or "").lower().split()
-                if not tokens:
-                    out_ids.append(did)
-                    out_hashes.append(0)
-                    continue
-                hashes = np.array(
-                    [_fnv64(t) for t in tokens], dtype=np.uint64
-                )
-                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sim = np.uint64(0)
-                for i in np.nonzero(votes > 0)[0]:
-                    sim |= np.uint64(1) << np.uint64(i)
-                out_ids.append(did)
-                out_hashes.append(int(sim.astype(np.int64)))
-            yield pd.DataFrame({"id": out_ids, "simhash": out_hashes})
+      explode(tokens) → xxhash64(token) → 64 conditional sums (one per bit,
+      vote = ±1) → reassemble the fingerprint from the vote signs.
 
-    return docs.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
-        compute, schema=_SIMHASH_SCHEMA
-    )
-
-
-def _fnv64(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for byte in s.encode("utf-8"):
-        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-    return h
+    The groupBy(id) with 64 sum aggregates combines map-side, so the shuffle
+    moves one 64-wide row per document per input partition — not one row per
+    token. Deterministic: xxhash64 is a pure function of the token bytes, and
+    integer sums are order-independent, so the fingerprint is identical at any
+    parallelism. Docs with no tokens get simhash 0 (all votes empty)."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"), lambda t: t != "")
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode_outer(toks).alias("tok"),
+    ).select("id", F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"))
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").isNotNull(),
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(one) * F.lit(2) - F.lit(1),
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -224,7 +224,7 @@ def assign_templates(
     """
     config = config or PipelineConfig()
     amap = assignments.select(
-        "sig_id", "template_id", "template", "creates", "first_conv", "first_turn"
+        "masked_sig", "template_id", "template", "creates", "first_conv", "first_turn"
     )
     if config.broadcast_assignments in (True, None):
         # Default: broadcast. The map is one row per distinct signature —
@@ -234,11 +234,13 @@ def assign_templates(
         # cost). Set broadcast_assignments=False only for pathological
         # corpora where distinct signatures rival row count.
         amap = F.broadcast(amap)
-    # The row-side join key is the only masked-derived expression in this
-    # pass — one mask evaluation per row, total.
-    joined = masked.withColumn("sig_id", F.xxhash64("masked_sig")).join(
-        amap, on="sig_id", how="left"
-    )
+    # Join on the signature STRING, not its 64-bit hash: the map side is tiny
+    # and broadcast, so the wider key costs little, and at 10^12-turn scale a
+    # birthday collision between two distinct signatures' xxhash64 would
+    # silently duplicate both signatures' rows with wrong templates. The
+    # masked_sig column is the only masked-derived expression in this pass —
+    # one mask evaluation per row, total.
+    joined = masked.join(amap, on="masked_sig", how="left")
     return joined.withColumn(
         "is_new",
         F.when(F.col("template_id").isNull(), F.lit(None).cast("boolean")).otherwise(

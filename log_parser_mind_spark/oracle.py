@@ -171,10 +171,16 @@ def zscore_alerts(series: pd.DataFrame, now: pd.Timestamp, threshold: float = 3.
         mean = g["value"].mean()
         std = math.sqrt(((g["value"] - mean) ** 2).mean()) or 1.0
         recent = g[g["ts"] > now - pd.Timedelta(minutes=5)]["value"]
-        if recent.empty:
-            continue
-        val = recent.sum() if agg == "sum" else recent.mean()
-        z = (val - mean) / std if agg == "sum" else abs(val - mean) / std
+        if agg == "sum":
+            if recent.empty:
+                continue  # zero recent errors → z < 0, never alerts
+            val = recent.sum()
+            z = (val - mean) / std
+        else:
+            # Volume path: a fully silent key is the canonical drop case —
+            # recent value 0, z = |0 − μ|/σ (cmd/anomaly/main.go:164-222).
+            val = 0.0 if recent.empty else recent.mean()
+            z = abs(val - mean) / std
         if z > threshold:
             out.append((key, float(val), float(z)))
     return pd.DataFrame(out, columns=["key", "value", "zscore"])

@@ -159,8 +159,11 @@ def _committed_by_run(store: SnapshotStore, run_id: str) -> set[str]:
         return set()
     rows = (
         m.filter((m.run_id == run_id) & (m.partition_id == -1) & (m.status == "committed"))
-        .select("stage")
+        .select("stage", "snapshot")
         .distinct()
         .collect()
     )
-    return {r.stage for r in rows}
+    # Trust the manifest only when the snapshot's COMMIT marker actually
+    # exists — a manifest row without a marker (crash window / partial state)
+    # must trigger recompute, never a FileNotFoundError at read time.
+    return {r.stage for r in rows if store.is_committed(r.stage, r.snapshot)}

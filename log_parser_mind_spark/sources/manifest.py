@@ -84,33 +84,46 @@ class SnapshotStore:
         out = df
         if sort_within_partitions:
             out = out.sortWithinPartitions(*sort_within_partitions)
-        # Per-partition row counts via observe-free aggregation: cheap second
-        # pass over the written files (exact, and never perturbs the plan).
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
-        written = self.spark.read.parquet(path)
-        counts = (
-            written.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows_out"))
-            .collect()
-        )
-        total = sum(r.rows_out for r in counts)
+        # Per-partition row counts from parquet FOOTERS — metadata-only reads,
+        # no second scan of data just written (at 100 TB a re-read would
+        # double the write stage's I/O). One output file = one write task =
+        # one lineage partition.
+        counts = self._footer_counts(path)
+        total = sum(n for _, n in counts)
+        # Atomic commit point FIRST, manifest rows after: a crash between the
+        # two leaves a committed-but-unlisted snapshot, which resume safely
+        # recomputes as the next snapshot. The old order (manifest first)
+        # left a manifest row pointing at a snapshot store.read() could not
+        # find — a crash window that broke the exact kill/re-run guarantee.
+        with open(os.path.join(path, COMMIT_MARKER), "w") as fh:
+            json.dump({"run_id": run_id, "rows": total, "ts": time.time()}, fh)
         committed_at = datetime.now(timezone.utc).replace(tzinfo=None)
         rows = [
-            (run_id, sink, snapshot, int(r.partition_id), None, int(r.rows_out),
-             committed_at, "committed")
-            for r in counts
+            (run_id, sink, snapshot, int(pid), None, int(n), committed_at, "committed")
+            for pid, n in counts
         ] + [(run_id, sink, snapshot, -1, None, int(total), committed_at, "committed")]
         self.spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
             os.path.join(self.root, "_manifest")
         )
-        # Atomic commit point: marker written last.
-        with open(os.path.join(path, COMMIT_MARKER), "w") as fh:
-            json.dump({"run_id": run_id, "rows": total, "ts": time.time()}, fh)
         return snapshot
+
+    @staticmethod
+    def _footer_counts(path: str) -> list[tuple[int, int]]:
+        """(partition_id, num_rows) per part file via parquet footer metadata."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for dirpath, _, names in os.walk(path):
+            for name in names:
+                if name.endswith(".parquet"):
+                    files.append(os.path.join(dirpath, name))
+        files.sort()
+        return [(i, pq.ParquetFile(f).metadata.num_rows) for i, f in enumerate(files)]
 
     def read(self, sink: str, snapshot: int | None = None) -> DataFrame:
         snapshot = self.latest_snapshot(sink) if snapshot is None else snapshot

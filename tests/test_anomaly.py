@@ -91,6 +91,36 @@ def test_volume_spike_vs_drop_and_severity(spark):
     assert abs(got_hot.zscore - want.iloc[0]["zscore"]) < 1e-9
 
 
+def test_fully_silent_source_emits_volume_drop(spark):
+    """ADVICE r1 (medium): a source with ZERO events in the trailing window —
+    total silence — must still alert (reference computes recentVolume=0,
+    main.go:164-222); the old inner join dropped the key entirely."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    # steady 10/minute for 55 minutes, then NOTHING until NOW (13:00)
+    for i in range(55):
+        for j in range(10):
+            rows.append(("conv", i * 60 + j, "gone", "INFO: ok", "none",
+                         BASE + dt.timedelta(minutes=i)))
+    parsed = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, source string, template string, tool string, ts timestamp"
+    ).withColumn("template_id", F.lit("t"))
+    alerts = {a.key: a for a in anomaly.detect_volume_anomalies(parsed, NOW).collect()}
+    assert "gone" in alerts
+    assert alerts["gone"].type == "volume_drop"
+    assert alerts["gone"].value == 0.0
+    # z = |0 − 10|/1 = 10 (constant series → σ guard = 1) → critical
+    assert alerts["gone"].zscore == 10.0 and alerts["gone"].severity == "critical"
+    # pandas oracle mirrors the same semantics
+    pdf = pd.DataFrame(
+        [("gone", BASE + dt.timedelta(minutes=i), 10.0) for i in range(55)],
+        columns=["key", "ts", "value"],
+    )
+    want = oracle.zscore_alerts(pdf, pd.Timestamp(NOW), 3.0, agg="avg")
+    assert len(want) == 1 and want.iloc[0]["zscore"] == 10.0
+
+
 def test_severity_buckets(spark):
     from pyspark.sql import functions as F
 

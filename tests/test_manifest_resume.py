@@ -75,6 +75,36 @@ def test_uncommitted_snapshot_ignored(spark, transcripts, tmp_path):
     assert store.read("t").count() == 5
 
 
+def test_manifest_row_without_marker_recomputes(spark, transcripts, tmp_path):
+    """ADVICE r1 (medium): a manifest row whose snapshot lacks the COMMIT
+    marker (crash window) must be treated as NOT committed — the resume path
+    recomputes instead of raising FileNotFoundError."""
+    import glob
+
+    root = str(tmp_path / "wh6")
+    store = SnapshotStore(spark, root)
+    store.commit(transcripts.limit(5), "parsed_turns", run_id="rc")
+    # Simulate the crash: manifest row exists, marker deleted.
+    for marker in glob.glob(os.path.join(root, "parsed_turns", "snapshot=*", "_COMMITTED")):
+        os.remove(marker)
+    assert job._committed_by_run(store, "rc") == set()
+    # A full run under the same run_id recomputes every stage cleanly.
+    result = job.run(spark, transcripts, root=root, run_id="rc", now="2024-01-02 00:00:00")
+    assert result.resumed == []
+    assert result.sinks["parsed_turns"].count() > 5
+
+
+def test_commit_counts_come_from_footers_not_a_second_scan(spark, transcripts, tmp_path):
+    root = str(tmp_path / "wh7")
+    store = SnapshotStore(spark, root)
+    df = transcripts.repartition(4)
+    store.commit(df, "t", run_id="a")
+    m = store.manifest()
+    parts = m.filter("stage = 't' and partition_id >= 0").collect()
+    assert len(parts) == 4  # one lineage row per written part file
+    assert sum(r.rows_out for r in parts) == df.count()
+
+
 def test_ttl_expiry(spark, transcripts, tmp_path):
     root = str(tmp_path / "wh5")
     store = SnapshotStore(spark, root)

@@ -51,6 +51,41 @@ def test_ngram_jaccard(docs):
     assert (0, 3) not in pairs
 
 
+def test_short_and_blank_docs_survive_dedup(spark):
+    """ADVICE r1 (high): sequence(1, size-(n-1)) on a <n-token doc yields a
+    DESCENDING [1,0] and slice() throws — short docs must shingle to []."""
+    rows = [(0, "one two"), (1, ""), (2, None), (3, "the quick brown fox jumps")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # No SparkRuntimeException; short docs simply produce no shingles.
+    assert dedup.minhash_lsh_candidates(df, k=8, bands=8).count() == 0
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+    sh = {r.id: r.simhash for r in dedup.simhash_table(df).collect()}
+    assert sh[1] == 0 and sh[2] == 0 and sh[0] != 0
+
+
+def test_ngram_jaccard_candidates_prune_before_join(docs, spark):
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3, candidates=cand)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got == {(0, 1): 1.0}
+    # The candidate filter must sit BELOW the pair aggregation: both sides of
+    # the shingle self-join are semi-joined against candidate ids (2 LeftSemi
+    # nodes) in addition to the post-agg pair semi-join (1 more).
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("LeftSemi") >= 3
+
+
+def test_simhash_plan_has_no_python(docs):
+    df = dedup.simhash_near_dups(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
+    # map-side combine: two-phase aggregate around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_simhash(docs):
     groups = dedup.simhash_near_dups(docs).collect()
     ids = sorted(sorted(g.ids) for g in groups)
