@@ -28,6 +28,14 @@ class DrainConfig:
     max_children: int = 100
     max_clusters: int = 20
     max_sample_logs: int = 5
+    # Scale guard (no reference analog — the reference's global-mutex tree
+    # simply degrades): a tree leaf whose DISTINCT-signature count exceeds
+    # this cap is mined on a deterministic hash-sample of ~this many sigs;
+    # the tail is assigned JVM-side against the mined templates (broadcast +
+    # zip_with similarity), with singleton fallback for unmatched sigs.
+    # Keeps the sequential Python clustering task bounded at O(cap·clusters)
+    # regardless of corpus cardinality. None → unbounded (exact legacy path).
+    giant_leaf_threshold: int | None = 100_000
 
 
 @dataclass(frozen=True)

@@ -230,12 +230,14 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH hyperplane bucket (similarity.py) →
-    exact cosine verify within buckets only."""
+    exact cosine verify within buckets only. Pass ``dim`` in pipelines to
+    avoid the driver-side schema-probe job."""
     from .similarity import cosine_expr, hyperplane_bucket
 
-    b = hyperplane_bucket(embeddings, id_col, vec_col, n_planes=n_planes, seed=seed)
+    b = hyperplane_bucket(embeddings, id_col, vec_col, dim=dim, n_planes=n_planes, seed=seed)
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(c, "bucket")

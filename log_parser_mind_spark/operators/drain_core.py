@@ -65,6 +65,31 @@ def template_id_of(template: str) -> str:
     return f"tmpl_{fnv64a(template):x}"
 
 
+def template_ids_batch(strings) -> list[str]:
+    """Vectorized FNV-64a template IDs for a batch of strings — numpy across
+    the batch (one pass per byte POSITION, not per byte), identical output to
+    ``template_id_of``. Used by the giant-leaf singleton fallback where the
+    per-row Python loop would be the hot path."""
+    import numpy as np
+
+    data = [s.encode("utf-8") for s in strings]
+    n = len(data)
+    if n == 0:
+        return []
+    m = max(len(d) for d in data)
+    lens = np.array([len(d) for d in data])
+    mat = np.zeros((n, max(m, 1)), dtype=np.uint64)
+    for i, d in enumerate(data):
+        if d:
+            mat[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for p in range(m):
+        active = lens > p
+        h[active] = (h[active] ^ mat[active, p]) * prime  # uint64 wraps = Go's overflow
+    return [f"tmpl_{int(x):x}" for x in h]
+
+
 def tokenize(content: str) -> list[str]:
     """strings.Fields (drain.go:172-176): whitespace split, no empties."""
     return content.split()

@@ -27,28 +27,34 @@ north rule demands).
 
 from __future__ import annotations
 
-
+import functools
+import operator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from ..config import PipelineConfig
+from ..config import WILDCARD, DrainConfig, PipelineConfig
 from ..schemas import ASSIGNMENTS
 
 _LEAF_KEYS = ["n_tokens", "k0", "k1"]
 
 
-def leaf_keys_from_sig(max_depth: int = 4) -> list:
+def leaf_keys_from_sig(max_depth: int = 4, col: str = "masked_sig", with_sig_id: bool = True) -> list:
     """Tree-leaf coordinates + 8-byte join key, derived from the signature
     STRING — applied post-aggregation so only one row per distinct signature
-    pays the split (see parse.masked_transcripts on why not at row level)."""
-    toks = F.split(F.col("masked_sig"), " ")
+    pays the split (see parse.masked_transcripts on why not at row level).
+
+    Also valid over a TEMPLATE string (``col='template'``): within a leaf the
+    first two tokens are the leaf key, so generalize never wildcards them and
+    the template's leaf coordinates equal its member signatures'."""
+    toks = F.split(F.col(col), " ")
     n = F.size(toks)
     cols = [n.alias("n_tokens")]
     for i in range(max_depth - 2):
         cols.append(F.when(n > F.lit(i + 1), F.element_at(toks, i + 1)).alias(f"k{i}"))
-    cols.append(F.xxhash64("masked_sig").alias("sig_id"))
+    if with_sig_id:
+        cols.append(F.xxhash64(col).alias("sig_id"))
     return cols
 
 
@@ -98,11 +104,25 @@ def _make_cluster_udf(sim_threshold: float):
         sigs = pdf["masked_sig"].tolist()
         convs = pdf["first_conv"].tolist()
         turns = pdf["first_turn"].tolist()
-        order = sorted(range(len(sigs)), key=lambda i: (convs[i], turns[i]))
+        seed_flags = pdf["is_seed"].tolist() if "is_seed" in pdf.columns else None
+
+        # Seed templates (T4 incremental mining: templates committed by prior
+        # micro-batches) become PRE-EXISTING clusters, in deterministic
+        # (pattern-sorted) order, before any signature is processed. They
+        # emit no assignment rows themselves and never anchor `creates`.
+        clusters: list[list] = []  # [tokens, members, anchor]
+        if seed_flags is not None:
+            for i in sorted(
+                (i for i in range(len(sigs)) if seed_flags[i]), key=lambda i: sigs[i]
+            ):
+                clusters.append([sigs[i].split(" "), [], None])
+            real = [i for i in range(len(sigs)) if not seed_flags[i]]
+        else:
+            real = list(range(len(sigs)))
+        order = sorted(real, key=lambda i: (convs[i], turns[i]))
 
         # Inlined drain leaf loop (findBestMatch ≥ threshold → generalize,
         # else create; drain.go:243-276,345-363), tuned for large groups.
-        clusters: list[list] = []  # [tokens, members, anchor]
         for i in order:
             tokens = sigs[i].split(" ")
             n = len(tokens)
@@ -132,7 +152,8 @@ def _make_cluster_udf(sim_threshold: float):
             template = " ".join(c[0])
             slot = by_template.setdefault(template, ([], set()))
             slot[0].extend(c[1])
-            slot[1].add(c[2])
+            if c[2] is not None:  # seed clusters never anchor `creates`
+                slot[1].add(c[2])
 
         tid_arr = [""] * len(sigs)
         tmpl_arr = [""] * len(sigs)
@@ -143,29 +164,149 @@ def _make_cluster_udf(sim_threshold: float):
                 tid_arr[i] = tid
                 tmpl_arr[i] = template
                 creates_arr[i] = i in anchors
+        # Seed rows are cluster state, not signatures — emit real rows only.
         return pd.DataFrame(
             {
-                "masked_sig": sigs,
-                "template_id": tid_arr,
-                "template": tmpl_arr,
-                "creates": creates_arr,
+                "masked_sig": [sigs[i] for i in real],
+                "template_id": [tid_arr[i] for i in real],
+                "template": [tmpl_arr[i] for i in real],
+                "creates": [creates_arr[i] for i in real],
             }
         )
 
     return cluster_group
 
 
+def _split_giant_leaves(slim: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
+    """Deterministic hash-sample split: leaves with ≤ cap distinct signatures
+    pass through whole; bigger leaves keep a ~cap-sized sample (sig selected
+    iff xxhash64(sig) mod 1e6 < cap/leaf_n · 1e6 — a pure function of the
+    signature string, identical at any parallelism) and the rest become the
+    JVM-assigned tail. The window count shuffles by the same leaf keys the
+    clustering groupBy needs, so the exchange is reused, not doubled."""
+    w = Window.partitionBy(*_LEAF_KEYS)
+    with_n = slim.withColumn("leaf_n", F.count(F.lit(1)).over(w))
+    in_sample = (F.col("leaf_n") <= cap) | (
+        F.pmod(F.xxhash64("masked_sig"), F.lit(1_000_000)) * F.col("leaf_n")
+        < F.lit(int(cap) * 1_000_000).cast("long")
+    )
+    return with_n.filter(in_sample).drop("leaf_n"), with_n.filter(~in_sample).drop("leaf_n")
+
+
+def _assign_tail(
+    tail: DataFrame, clustered: DataFrame, drain: DrainConfig, cache: bool = True
+) -> DataFrame:
+    """Giant-leaf tail assignment, JVM-side: each unsampled signature joins
+    the (broadcast) templates mined from its leaf's sample; token similarity
+    = Drain's match fraction with wildcard match (drain.go:345-363) via
+    zip_with; best match ≥ sim_threshold wins (ties → max struct order,
+    deterministic). Unmatched sigs fall back to SINGLETON templates — their
+    own signature — with IDs from the batch-vectorized FNV kernel.
+
+    Documented divergence from exact sequential Drain: tail sigs never
+    generalize a mined template further, and two unmatched tail sigs never
+    merge with each other. Both keep the path O(|tail|·|mined|) fully
+    parallel instead of one O(|leaf|·|clusters|) Python task."""
+    from .drain_core import template_ids_batch
+
+    mined = (
+        clustered.select(
+            *leaf_keys_from_sig(col="template", with_sig_id=False),
+            "template_id",
+            "template",
+        )
+        .distinct()
+        # Pre-split ONCE per template — the join below fans out to
+        # |tail|·|mined-per-leaf| rows, and splitting inside the join
+        # condition would re-tokenize both strings per joined row.
+        .withColumn("t_toks", F.split("template", " "))
+    )
+    # Only leaves that actually have a tail matter — semi-join against that
+    # (tiny) key set so the broadcast carries giant-leaf templates only.
+    giant_keys = tail.select(*_LEAF_KEYS).distinct()
+    keys_eq = lambda l, r: functools.reduce(  # noqa: E731
+        operator.and_, [F.col(f"{l}.{k}").eqNullSafe(F.col(f"{r}.{k}")) for k in _LEAF_KEYS]
+    )
+    mined_g = mined.alias("m").join(
+        F.broadcast(giant_keys.alias("g")), keys_eq("m", "g"), "left_semi"
+    )
+
+    # The tail arrives hash-partitioned by LEAF keys (from the window count),
+    # i.e. one giant leaf = ONE partition — exactly the serial hotspot this
+    # path exists to remove. Re-spread by signature so the broadcast join +
+    # similarity scan parallelize across all cores.
+    tail = tail.repartition(F.col("masked_sig")).withColumn("s_toks", F.split("masked_sig", " "))
+    j = tail.alias("t").join(F.broadcast(mined_g.alias("md")), keys_eq("t", "md"), "left")
+    matches = F.zip_with(
+        F.col("md.t_toks"),
+        F.col("t.s_toks"),
+        lambda a, b: (a == b) | (a == F.lit(WILDCARD)),
+    )
+    sim = F.size(F.filter(matches, lambda x: x)) / F.col("t.n_tokens").cast("double")
+    best = (
+        j.withColumn("sim", sim)
+        .groupBy(F.col("t.masked_sig").alias("masked_sig"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("sim") >= F.lit(drain.sim_threshold),
+                    F.struct(
+                        F.col("sim").alias("sim"),
+                        F.col("md.template_id").alias("template_id"),
+                        F.col("md.template").alias("template"),
+                    ),
+                )
+            ).alias("m")
+        )
+    )
+    if cache:
+        # ``best`` feeds both the matched and the singleton branches below;
+        # caching keeps the tail join single-execution (one row per tail sig,
+        # empty for non-giant corpora).
+        best = best.persist()
+    matched = best.filter(F.col("m").isNotNull()).select(
+        "masked_sig",
+        F.col("m.template_id").alias("template_id"),
+        F.col("m.template").alias("template"),
+        F.lit(False).alias("creates"),
+    )
+
+    def add_singleton_ids(it):
+        for pdf in it:
+            out = pdf[["masked_sig"]].copy()
+            out["template_id"] = template_ids_batch(out["masked_sig"].tolist())
+            out["template"] = out["masked_sig"]
+            out["creates"] = True
+            yield out
+
+    singles = (
+        best.filter(F.col("m").isNull())
+        .select("masked_sig")
+        .mapInPandas(add_singleton_ids, schema=_CLUSTER_OUT)
+    )
+    return matched.unionByName(singles)
+
+
 def mine_assignments(
     masked: DataFrame,
     config: PipelineConfig | None = None,
     cache_sig_stats: bool = True,
+    seed_templates: DataFrame | None = None,
 ) -> DataFrame:
     """Stages 2+3: masked rows → per-signature template assignments.
 
     ``sig_stats`` feeds the clusterer (slim columns through Arrow) AND the
     stats join-back; without caching, both branches would re-run the full
     input aggregation. It is one row per distinct signature — small by the
-    same assumption that makes the whole design work.
+    same assumption that makes the whole design work. Leaves whose distinct-
+    signature count exceeds ``drain.giant_leaf_threshold`` are mined on a
+    hash-sample with JVM tail assignment (see _split_giant_leaves /
+    _assign_tail) so no single Python task scales with corpus cardinality.
+
+    ``seed_templates`` (TEMPLATES-schema rows, e.g. the dimension committed by
+    prior micro-batches — T4) pre-populate the per-leaf clusterers: new sigs
+    matching a known template at ≥ sim_threshold reuse it (or generalize it)
+    instead of founding a finer-grained cluster.
     """
     config = config or PipelineConfig()
     sig_stats = _sig_stats(masked, collect_samples=False, max_depth=config.drain.max_depth)
@@ -173,7 +314,50 @@ def mine_assignments(
         sig_stats = sig_stats.persist()
     udf = _make_cluster_udf(config.drain.sim_threshold)
     slim = sig_stats.select(*_LEAF_KEYS, "masked_sig", "first_conv", "first_turn")
-    clustered = slim.groupBy(*_LEAF_KEYS).applyInPandas(udf, schema=_CLUSTER_OUT)
+    seeds = None
+    if seed_templates is not None:
+        seeds = seed_templates.select(
+            *leaf_keys_from_sig(col="pattern", with_sig_id=False),
+            F.col("pattern").alias("masked_sig"),
+            F.lit("").alias("first_conv"),
+            F.lit(-1).alias("first_turn"),
+            F.lit(True).alias("is_seed"),
+        ).distinct()
+        slim = slim.withColumn("is_seed", F.lit(False))
+    cap = config.drain.giant_leaf_threshold
+    use_guard = cap is not None
+    if use_guard and cache_sig_stats:
+        # One tiny aggregation job over the (cached) distinct-signature table
+        # decides whether any leaf actually exceeds the cap — the common case
+        # (no giant leaves) then takes the exact path with ZERO extra plan
+        # machinery (measured ~1.7× pipeline overhead when the guard subtree
+        # is built unconditionally). Deterministic: a pure count, independent
+        # of partitioning. With cache_sig_stats=False the check would re-run
+        # the full input scan, so the guarded plan is built unconditionally.
+        max_leaf = (
+            slim.groupBy(*_LEAF_KEYS).count().agg(F.max("count")).collect()[0][0]
+        )
+        use_guard = max_leaf is not None and max_leaf > cap
+    if not use_guard:
+        grouped = slim if seeds is None else slim.unionByName(seeds)
+        clustered = grouped.groupBy(*_LEAF_KEYS).applyInPandas(udf, schema=_CLUSTER_OUT)
+    else:
+        sample, tail = _split_giant_leaves(slim, cap)
+        if seeds is not None:
+            # Seeds always mine with the sample — they are cluster state, and
+            # must never be hash-partitioned into the tail.
+            sample = sample.unionByName(seeds)
+        clustered = sample.groupBy(*_LEAF_KEYS).applyInPandas(udf, schema=_CLUSTER_OUT)
+        if cache_sig_stats:
+            # The clustered table feeds BOTH union branches (direct + the
+            # tail-template join); without caching, the Python clustering
+            # stage would execute once per branch (subtrees above a reused
+            # exchange are not deduplicated). One row per sampled signature —
+            # same small scale as sig_stats.
+            clustered = clustered.persist()
+        clustered = clustered.unionByName(
+            _assign_tail(tail, clustered, config.drain, cache=cache_sig_stats)
+        )
     # Join the stats back onto the tiny clustered table (both sides are one
     # row per distinct signature).
     return clustered.join(

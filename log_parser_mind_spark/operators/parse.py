@@ -120,6 +120,7 @@ def parse_pipeline(
     config: PipelineConfig | None = None,
     cache_assignments: bool = True,
     include_text: bool = True,
+    seed_templates: DataFrame | None = None,
 ):
     """Convenience: transcripts → (parsed_turns, templates, assignments).
 
@@ -133,7 +134,7 @@ def parse_pipeline(
 
     config = config or PipelineConfig()
     masked = masked_transcripts(transcripts, config.drain.max_depth)
-    assignments = mine_assignments(masked, config)
+    assignments = mine_assignments(masked, config, seed_templates=seed_templates)
     if cache_assignments:
         assignments = assignments.persist()
     templates = templates_from_assignments(assignments)

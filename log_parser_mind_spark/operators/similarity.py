@@ -102,9 +102,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine, but only within shared LSH buckets."""
-    dim = len(corpus.select(vec_col).first()[0])
+    """Approximate top-k: exact cosine, but only within shared LSH buckets.
+
+    Pass ``dim`` explicitly in pipelines — the fallback infers it with a
+    driver-side ``.first()``, which triggers a job during plan construction
+    and stalls pipelined use."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     qb = hyperplane_bucket(queries, id_col, vec_col, dim, n_planes, seed).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
@@ -126,11 +132,15 @@ def ivf_assignments(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-lite: deterministic k-means over DataFrame aggs. Init = the
     vectors whose xxhash64(id) are the n smallest (pure function of ids);
-    each Lloyd iteration is one groupBy(avg per dimension)."""
-    dim = len(df.select(vec_col).first()[0])
+    each Lloyd iteration is one groupBy(avg per dimension). k-means is
+    inherently iterative with driver-side centroid collection; ``dim`` only
+    avoids the extra schema-probe job."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     init = (
         df.select(id_col, vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h")

@@ -64,18 +64,25 @@ def incremental_pipeline(
     config: PipelineConfig | None = None,
     query_name: str = "logmind_stream",
 ):
-    """T4 — foreachBatch incremental parse+mine. Each micro-batch runs the
-    batch miner over (new rows ∪ nothing), then MERGEs the template dimension
-    into the snapshot store (upsert = groupBy min/max/sum — U1 semantics).
-    Template IDs are content hashes, so re-mining a template already known
-    yields the same ID and the merge is idempotent (exactly-once sinks)."""
+    """T4 — foreachBatch incremental parse+mine. Each micro-batch mines with
+    the templates committed by prior batches as SEED clusters (they
+    pre-populate the per-leaf clusterers, so a turn matching a known template
+    reuses it instead of founding a finer-grained one — the Drain-tree-state
+    analog of drain.go:17-26), then MERGEs the template dimension into the
+    snapshot store (upsert = groupBy min/max/sum — U1 semantics). Template
+    IDs are content hashes, so re-mining a template already known yields the
+    same ID and the merge is idempotent (exactly-once sinks)."""
     from ..operators.parse import parse_pipeline
 
     config = config or PipelineConfig()
     store = SnapshotStore(spark, root)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        parsed, templates, _ = parse_pipeline(batch_df, config)
+        try:
+            seed = store.read("stream_templates")
+        except FileNotFoundError:
+            seed = None
+        parsed, templates, _ = parse_pipeline(batch_df, config, seed_templates=seed)
         store.commit(parsed, "stream_parsed", run_id=f"epoch_{epoch_id}")
         try:
             prior = store.read("stream_templates")

@@ -92,8 +92,12 @@ def test_miner_python_stage_is_only_on_sig_stats(spark):
 
     masked = masked_transcripts(synth_transcripts(spark, n_convs=5, seed=5), 4)
     plan = _plan(mine_assignments(masked, cache_sig_stats=False))
-    # formatted explain prints each operator twice (tree line + detail block).
-    assert plan.count("FlatMapGroupsInPandas") == 2
+    # formatted explain prints each operator twice (tree line + detail block);
+    # with caching disabled the giant-leaf guard references the clustered
+    # stage from three branches (union + tail matched + tail singleton), so
+    # the node may print up to 3×2 times. With the default cache_sig_stats
+    # the clustered + tail tables are persisted and execute once.
+    assert 2 <= plan.count("FlatMapGroupsInPandas") <= 6
     # The pandas stage consumes an aggregate (distinct sigs), not the scan:
     # the miner plan must contain the signature aggregation.
     assert any(m in plan for m in ("HashAggregate", "ObjectHashAggregate", "SortAggregate"))

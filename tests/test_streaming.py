@@ -77,3 +77,39 @@ def test_incremental_pipeline_accumulates_templates(spark, staged_input, tmp_pat
     assert streamed.count() >= batch_templates.count()
     # IDs are content hashes → stable format everywhere.
     assert streamed.filter(~F.col("template_id").startswith("tmpl_")).count() == 0
+
+
+def test_seed_templates_pre_populate_clusters(spark):
+    """T4 seeding: a sig arriving in a later batch that matches a previously
+    committed template at ≥ sim_threshold reuses it (creates=False) instead
+    of founding its own finer-grained cluster."""
+    import datetime as dt
+
+    from log_parser_mind_spark.operators.miner import mine_assignments, templates_from_assignments
+    from log_parser_mind_spark.operators.parse import masked_transcripts
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def tr(texts, conv):
+        return spark.createDataFrame(
+            [(conv, i, "user", t, "none", dt.datetime(2024, 1, 1, 0, 0, i)) for i, t in enumerate(texts)],
+            schema,
+        )
+
+    # Batch 1: two variants generalize to 'task alpha finished cleanly okay <*>'
+    b1 = tr(["task alpha finished cleanly okay one", "task alpha finished cleanly okay two"], "c1")
+    a1 = mine_assignments(masked_transcripts(b1, 4))
+    t1 = templates_from_assignments(a1)
+    assert t1.collect()[0].pattern == "task alpha finished cleanly okay <*>"
+
+    # Batch 2 alone: the lone third variant keeps its literal sig.
+    b2 = tr(["task alpha finished cleanly okay three"], "c2")
+    alone = mine_assignments(masked_transcripts(b2, 4)).collect()[0]
+    assert alone.template == "task alpha finished cleanly okay three"
+    assert alone.creates
+
+    # Batch 2 with batch-1 templates as seeds: reuses the committed template.
+    seeded = mine_assignments(masked_transcripts(b2, 4), seed_templates=t1).collect()[0]
+    assert seeded.template == "task alpha finished cleanly okay <*>"
+    assert seeded.template_id == t1.collect()[0].template_id
+    assert not seeded.creates

@@ -115,6 +115,27 @@ def test_embedding_near_dups_and_topk(spark):
     assert not got or got[0].neighbor_id == 1  # near-identical vectors share buckets
 
 
+def test_explicit_dim_builds_plans_without_a_job(spark):
+    """VERDICT r1 item 8: with ``dim`` passed, plan construction must not
+    trigger a driver-side .first() job. The source is poisoned with a
+    mapInPandas that raises if ANY job materializes it."""
+    from pyspark.sql import functions as F
+
+    def boom(_it):
+        raise RuntimeError("materialized during plan construction")
+        yield  # pragma: no cover
+
+    base = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 4).cast("array<float>").alias("embedding"),
+    )
+    poisoned = base.mapInPandas(boom, "vec_id long, embedding array<float>")
+    q = similarity.lsh_topk(poisoned, poisoned, k=2, dim=4)
+    assert "cosine" in q.columns  # analysis resolved, no job ran
+    nd = dedup.embedding_near_dups(poisoned, dim=4)
+    assert "cosine" in nd.columns
+
+
 def test_ivf_assignments_deterministic(spark):
     import numpy as np
 
