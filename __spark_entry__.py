@@ -6,9 +6,12 @@
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
                    (tables region nation customer supplier part orders
                    lineitem events documents embeddings are pre-registered).
-                   Drain mining / hash-based LSH / multimodal entries are
-                   intentionally omitted there (non-SQL-expressible → the
-                   driver records the weaker rows-only check).
+                   Queries whose semantics are NOT SQL-expressible (drain
+                   mining, xxhash64 LSH, multimodal) are checked against
+                   GOLDEN parquet tables instead (data/golden/, produced by
+                   tools/make_goldens.py — drain goldens derive from the
+                   independent pandas oracle; hash-based ones are locked
+                   deterministic engine output).
 
 Alias discipline: every computed column is aliased identically in the Spark
 plan and the oracle SQL; float columns are rounded to 6 (or stated) decimals
@@ -316,6 +319,40 @@ _ORACLE_NGRAM_JACCARD = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), '\\s+') AS t
   FROM documents WHERE doc_id < 80
+), sh AS (
+  SELECT DISTINCT doc_id, s.shingle FROM toks, UNNEST(t) AS s(shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.7
+"""
+
+
+def q_minhash_verified_dups(spark, sf_dir):
+    """LSH→exact-verify composition over the FULL documents table (the scale
+    path: candidates from minhash bands prune the shingle self-join, then
+    exact Jaccard verifies). With rows_per_band=1 (k=bands=32) the per-pair
+    miss probability at s=0.7 is 0.3^32 ≈ 2e-17, and the result is verified
+    EQUAL to the exhaustive all-pairs oracle on this corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, k=32, bands=32, shingle_n=1)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.7, candidates=cand)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_ORACLE_MINHASH_VERIFIED = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), '\\s+') AS t
+  FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, s.shingle FROM toks, UNNEST(t) AS s(shingle)
 ), sizes AS (
@@ -861,6 +898,65 @@ QUALIFY rank = 1
 
 
 # ---------------------------------------------------------------------------
+# X4 — agent analysis stage with deterministic mock client
+# ---------------------------------------------------------------------------
+
+
+def q_agent_analyze(spark, sf_dir):
+    """X4 (internal/agent/prompts/templates.go:17-43 + llm/client.go:179-283):
+    prompt render (native format_string) → injectable-client mapInPandas →
+    strip fences + JSON extraction (JVM). The mock client is a pure function
+    of the prompt, so the whole stage is DuckDB-replicable."""
+    from log_parser_mind_spark.operators import agent
+
+    events = _t(spark, sf_dir, "events")
+    req = agent.build_analyze_requests(events)
+    resp = agent.llm_stage(req, agent.deterministic_mock_client)
+    return agent.parse_analysis(resp).select(
+        "source", "summary", "severity", F.round("confidence", 6).alias("confidence")
+    )
+
+
+def _oracle_agent_analyze() -> str:
+    from log_parser_mind_spark.operators import agent
+
+    fixed = len(agent.render_template("analyze_logs", log_patterns="", time_range="", source=""))
+    return f"""
+WITH req AS (
+  SELECT event_type AS source,
+         event_type || ': ' || count(*) AS log_patterns,
+         '2024-01-01/2024-01-31' AS time_range
+  FROM events GROUP BY event_type
+)
+SELECT source,
+       'analysis of ' || source || ' (' ||
+         ({fixed} + length(log_patterns) + length(time_range) + length(source)) ||
+         ' chars)' AS summary,
+       CASE WHEN lower(source) LIKE '%error%' THEN 'high' ELSE 'low' END AS severity,
+       round(0.9, 6) AS confidence
+FROM req
+"""
+
+
+# ---------------------------------------------------------------------------
+# Golden oracles (data/golden/, produced by tools/make_goldens.py at sf0.01)
+#
+# drain_* goldens are INDEPENDENT: the pandas oracle (lpms/oracle.py, a
+# separate single-threaded reimplementation of the reference semantics)
+# computed them, and make_goldens.py asserts engine == oracle before writing.
+# simhash_groups / minhash_candidates / multimodal_features goldens are
+# LOCKED ENGINE OUTPUT (xxhash64 has no DuckDB equivalent): they verify
+# determinism and parallelism-invariance, not independent derivation.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_DIR = "/root/repo/data/golden"
+
+
+def _golden_sql(name: str, cols: str) -> str:
+    return f"SELECT {cols} FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet/*.parquet')"
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -890,7 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_verified_dups": q_minhash_verified_dups,
         "cosine_topk": q_cosine_topk,
+        "agent_analyze": q_agent_analyze,
         # filters / predicates / json
         "filter_project": q_filter_project,
         "like_predicate": q_like_predicate,
@@ -934,7 +1032,23 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _ORACLE_FINGERPRINT,
         "exact_dedup": _ORACLE_EXACT_DEDUP,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "minhash_verified_dups": _ORACLE_MINHASH_VERIFIED,
         "cosine_topk": _ORACLE_COSINE_TOPK,
+        "agent_analyze": _oracle_agent_analyze(),
+        # golden-backed (see the Golden oracles section header for provenance)
+        "drain_top_templates": _golden_sql("drain_top_templates", "template_id, cnt"),
+        "drain_templates": _golden_sql("drain_templates", "template_id, pattern, log_count"),
+        "drain_parsed_turns": _golden_sql(
+            "drain_parsed_turns",
+            "conv_id, turn_idx, template_id, is_new, original_size, compressed_size",
+        ),
+        "drain_global_stats": _golden_sql(
+            "drain_global_stats",
+            "total_logs, unique_templates, total_original_size, total_compressed_size, compression_ratio",
+        ),
+        "simhash_groups": _golden_sql("simhash_groups", "simhash, n"),
+        "minhash_candidates": _golden_sql("minhash_candidates", "id_a, id_b"),
+        "multimodal_features": _golden_sql("multimodal_features", "asset_id, media_type, n_bytes"),
         "filter_project": _ORACLE_FILTER_PROJECT,
         "like_predicate": _ORACLE_LIKE_PREDICATE,
         "validation": _ORACLE_VALIDATION,

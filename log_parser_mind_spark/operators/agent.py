@@ -1,0 +1,289 @@
+"""X4 — the LLM agent analysis stage (reference internal/agent/prompts/
+templates.go:17-161, internal/agent/llm/client.go) as a batch DataFrame stage
+with an INJECTABLE client.
+
+Reference shape: build prompt from template → chat-completion call →
+cleanJSONResponse (strip ``` fences, client.go:270-283) → json.Unmarshal into
+typed results. Spark rebuild:
+
+  1. PROMPT RENDER — native concat/format expressions (JVM, codegen) for the
+     distributed path; ``render_template`` mirrors Go's text/template
+     semantics (including generate_fix's two ``{{if}}`` blocks) for scalar
+     parity and tests.
+  2. LLM CALL — ``llm_stage``: mapInPandas over Arrow batches with a
+     ``client: list[str] -> list[str]`` callable. The real network client is
+     NOT available in this sandbox (same posture as multimodal codecs):
+     ``openai_client_unavailable`` raises; tests and the oracle-checked query
+     inject ``deterministic_mock_client``, a pure string transform.
+  3. POSTPROCESS — strip fences (functions.text.strip_fences_expr, F17) +
+     ``get_json_object`` field extraction, all JVM-side.
+
+Determinism: prompt rendering and the mock are pure functions of the input
+row, so the stage is parallelism-invariant end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import strip_code_fences_expr
+
+# Ported verbatim from templates.go:17-161 (Go {{.Field}} → Python {field}).
+PROMPT_TEMPLATES: dict[str, str] = {
+    "analyze_logs": """You are a log analysis expert. Analyze the following log patterns and identify issues.
+
+Log Patterns:
+{log_patterns}
+
+Time Range: {time_range}
+Source: {source}
+
+Focus on:
+1. Error patterns and their frequency
+2. Correlations between different log types
+3. Anomalies in timing or volume
+4. Security-related issues
+
+Provide your analysis in JSON format with the following structure:
+{{
+  "issues": [
+    {{
+      "title": "Brief title",
+      "description": "Detailed description",
+      "severity": "low|medium|high|critical",
+      "root_cause": "Likely root cause"
+    }}
+  ],
+  "summary": "Overall summary",
+  "confidence": 0.0-1.0
+}}""",
+    "generate_fix": """You are a DevOps SRE expert analyzing production issues.
+
+Issue Context:
+{issue_context}
+{similar_experiences_block}{system_context_block}
+Generate fix proposals in JSON format:
+{{
+  "root_cause": "Clear description of the root cause",
+  "fixes": [
+    {{
+      "rank": 1,
+      "description": "Brief description",
+      "commands": ["command1", "command2"],
+      "risk": "low|medium|high",
+      "expected_outcome": "Expected result",
+      "confidence": 0.0-1.0,
+      "reasoning": "Why this should work"
+    }}
+  ]
+}}
+
+Rules:
+1. Prioritize fixes from past successful experiences
+2. Rank by confidence (highest first)
+3. Include rollback commands for high-risk fixes
+4. Maximum 3 proposals""",
+    "root_cause_analysis": """You are an expert at root cause analysis for distributed systems.
+
+Symptoms:
+{symptoms}
+
+Log Patterns:
+{log_patterns}
+
+System Metrics:
+{metrics}
+
+Timeline:
+{timeline}
+
+Perform a thorough root cause analysis. Consider:
+1. The 5 Whys methodology
+2. Correlation between events
+3. Common failure modes
+4. Recent changes or deployments
+
+Provide your analysis in JSON format:
+{{
+  "root_cause": "Primary root cause",
+  "contributing_factors": ["factor1", "factor2"],
+  "evidence": ["evidence1", "evidence2"],
+  "confidence": 0.0-1.0,
+  "recommendations": ["rec1", "rec2"]
+}}""",
+    "anomaly_detection": """You are an anomaly detection expert for log data.
+
+Baseline Patterns:
+{baseline_patterns}
+
+Current Patterns:
+{current_patterns}
+
+Identify any anomalies by comparing current patterns to the baseline.
+Look for:
+1. Unusual spike in error rates
+2. New error types not seen before
+3. Changes in log volume or frequency
+4. Suspicious patterns (potential security issues)
+
+Output JSON:
+{{
+  "anomalies": [
+    {{
+      "type": "spike|new_pattern|security|other",
+      "description": "What was detected",
+      "severity": "low|medium|high|critical",
+      "affected_patterns": ["pattern1"]
+    }}
+  ],
+  "is_anomalous": true|false,
+  "confidence": 0.0-1.0
+}}""",
+    "summarize_incident": """Summarize the following incident for a post-mortem report.
+
+Incident Timeline:
+{timeline}
+
+Actions Taken:
+{actions}
+
+Resolution:
+{resolution}
+
+Create a concise incident summary suitable for stakeholder communication.
+Include:
+1. What happened (1-2 sentences)
+2. Impact (duration, affected services)
+3. Root cause
+4. Fix applied
+5. Prevention measures
+
+Keep it under 300 words.""",
+}
+
+
+def render_template(name: str, **data: str) -> str:
+    """RenderTemplate (templates.go:198-216). generate_fix's optional blocks
+    reproduce Go's ``{{if .X}}...{{end}}`` — section present iff non-empty."""
+    if name not in PROMPT_TEMPLATES:
+        raise KeyError(f"template not found: {name}")
+    if name == "generate_fix":
+        exp = data.get("similar_experiences", "")
+        sysctx = data.get("system_context", "")
+        data = {
+            "issue_context": data.get("issue_context", ""),
+            "similar_experiences_block": (
+                f"\nSimilar Past Experiences:\n{exp}\n" if exp else "\n"
+            ),
+            "system_context_block": (
+                f"\nCurrent System State:\n{sysctx}\n" if sysctx else ""
+            ),
+        }
+    return PROMPT_TEMPLATES[name].format(**data)
+
+
+def analyze_prompt_expr(log_patterns, time_range, source) -> F.Column:
+    """The analyze_logs prompt as ONE native format_string expression —
+    byte-identical to render_template('analyze_logs', ...), so the
+    distributed render needs no Python."""
+    head, rest = PROMPT_TEMPLATES["analyze_logs"].split("{log_patterns}")
+    mid, tail = rest.split("{time_range}")
+    mid2, tail2 = tail.split("{source}")
+    fmt = (
+        head.replace("%", "%%")
+        + "%s"
+        + mid.replace("%", "%%")
+        + "%s"
+        + mid2.replace("%", "%%")
+        + "%s"
+        + tail2.replace("{{", "{").replace("}}", "}").replace("%", "%%")
+    ).replace("{{", "{").replace("}}", "}")
+    return F.format_string(fmt, log_patterns, time_range, source)
+
+
+def build_analyze_requests(
+    events: DataFrame, key_col: str = "event_type", time_range: str = "2024-01-01/2024-01-31"
+) -> DataFrame:
+    """One analysis request per key: LogPatterns = sorted 'key: count' lines
+    (the reference feeds GetTopTemplates output into BuildAnalyzePrompt)."""
+    counts = events.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.select(
+        F.col(key_col).alias("source"),
+        F.format_string("%s: %d", F.col(key_col), F.col("cnt")).alias("log_patterns"),
+        F.lit(time_range).alias("time_range"),
+    ).withColumn(
+        "prompt",
+        analyze_prompt_expr(F.col("log_patterns"), F.col("time_range"), F.col("source")),
+    )
+
+
+def llm_stage(
+    requests: DataFrame,
+    client: Callable[[list[str]], list[str]],
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+) -> DataFrame:
+    """The chat-completion call as a mapInPandas stage: one client invocation
+    per Arrow batch (the real client would batch/async inside), columns pass
+    through. Injectable client = testable without network, exactly the same
+    seam the reference's Client struct provides (client.go:36-58)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[response_col] = client(pdf[prompt_col].tolist())
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(requests.schema.fields) + [T.StructField(response_col, T.StringType())]
+    )
+    return requests.mapInPandas(run, schema=schema)
+
+
+def parse_analysis(responses: DataFrame, response_col: str = "response") -> DataFrame:
+    """cleanJSONResponse + field extraction (client.go:243-283), JVM-side:
+    strip ``` fences, then get_json_object pulls the typed fields."""
+    clean = strip_code_fences_expr(F.col(response_col))
+    return responses.withColumn("clean_json", clean).select(
+        "*",
+        F.get_json_object(F.col("clean_json"), "$.summary").alias("summary"),
+        F.get_json_object(F.col("clean_json"), "$.severity").alias("severity"),
+        F.get_json_object(F.col("clean_json"), "$.confidence")
+        .cast("double")
+        .alias("confidence"),
+    )
+
+
+def deterministic_mock_client(prompts: list[str]) -> list[str]:
+    """Test/oracle stand-in: a PURE function of the prompt — fenced JSON whose
+    fields derive from the prompt text (so DuckDB can replicate it). Real
+    completions are environment-gated like the multimodal codecs."""
+    out = []
+    for p in prompts:
+        # the Source line is the last rendered field before the instructions
+        source = next(
+            (ln.split("Source: ", 1)[1] for ln in p.splitlines() if ln.startswith("Source: ")),
+            "unknown",
+        )
+        sev = "high" if "error" in source.lower() else "low"
+        out.append(
+            "```json\n"
+            + '{"summary": "analysis of %s (%d chars)", "severity": "%s", "confidence": 0.9}'
+            % (source, len(p), sev)
+            + "\n```"
+        )
+    return out
+
+
+def openai_client_unavailable(prompts: list[str]) -> list[str]:
+    """The reference's network client (client.go:60-98) needs an API endpoint
+    this sandbox does not have. Explicitly unavailable, never silently fake."""
+    raise NotImplementedError(
+        "no LLM endpoint in this environment — inject a client callable "
+        "(tests use deterministic_mock_client)"
+    )

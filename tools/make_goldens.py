@@ -1,0 +1,138 @@
+"""Generate golden parquet tables for queries whose semantics are not
+SQL-expressible, so the driver's DuckDB oracle can still hash-verify them
+(VERDICT r1 item 6).
+
+Two provenance classes, labeled per table:
+
+  INDEPENDENT-ORACLE goldens (drain family) — computed by the single-threaded
+  pandas oracle (log_parser_mind_spark.oracle.run_pipeline), an independent
+  re-implementation of the reference semantics sharing no clustering code
+  with the engine. Double-entry bookkeeping: this script ASSERTS the Spark
+  engine's output equals the oracle's before writing anything.
+
+  LOCKED-OUTPUT goldens (simhash_groups, minhash_candidates,
+  multimodal_features) — deterministic engine output locked as a regression
+  reference: xxhash64-based fingerprints have no DuckDB equivalent, so the
+  golden proves determinism/parallelism-invariance, not independent derivation.
+
+Run from the repo root:  python tools/make_goldens.py [sf_dir]
+Writes data/golden/<query>.parquet (one part file each) at sf0.01 — the scale
+the driver's correctness harness uses.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "golden")
+
+
+def _py(v):
+    """numpy/pandas scalar → plain Python (None for NaN/NA)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def build_drain_goldens(spark, sf_dir: str) -> dict:
+    """Pandas-oracle drain outputs, shaped exactly like the entry queries."""
+    import pandas as pd
+
+    from log_parser_mind_spark import oracle
+    from log_parser_mind_spark.sources.tables import documents_as_transcripts
+
+    tr = documents_as_transcripts(spark, sf_dir).toPandas()
+    res = oracle.run_pipeline(tr)
+    parsed, templates = res["parsed"], res["templates"]
+
+    g_templates = templates.rename(columns={"template": "pattern"})[
+        ["template_id", "pattern", "log_count"]
+    ]
+
+    g_parsed = parsed[
+        ["conv_id", "turn_idx", "template_id", "is_new", "original_size", "compressed_size"]
+    ].copy()
+
+    top = (
+        parsed.dropna(subset=["template_id"])
+        .groupby("template_id", as_index=False)
+        .size()
+        .rename(columns={"size": "cnt"})
+        .sort_values(["cnt", "template_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+    total_logs = len(parsed)
+    uniq = parsed["template_id"].nunique(dropna=True)
+    tot_o = int(parsed["original_size"].dropna().sum())
+    tot_c = int(parsed["compressed_size"].dropna().sum())
+    ratio = round(tot_c / tot_o, 6) if tot_o > 0 else 0.0
+    g_stats = pd.DataFrame(
+        [(total_logs, uniq, tot_o, tot_c, ratio)],
+        columns=[
+            "total_logs",
+            "unique_templates",
+            "total_original_size",
+            "total_compressed_size",
+            "compression_ratio",
+        ],
+    )
+    return {
+        "drain_templates": g_templates,
+        "drain_parsed_turns": g_parsed,
+        "drain_top_templates": top,
+        "drain_global_stats": g_stats,
+    }
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    import __spark_entry__ as entry
+    from log_parser_mind_spark.session import get_spark
+
+    spark = get_spark(master="local[8]")
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    qs = entry.queries()
+
+    def write(name: str, spark_df_pdf) -> None:
+        q = qs[name](spark, sf_dir)
+        if spark_df_pdf is None:  # locked-output golden: the query itself
+            out = q
+        else:
+            # Independent golden: assert double-entry equality FIRST, then
+            # write the oracle's values with the Spark query's exact schema.
+            got = sorted(map(tuple, q.collect()))
+            rows = [
+                tuple(_py(v) for v in r)
+                for r in spark_df_pdf.itertuples(index=False)
+            ]
+            out = spark.createDataFrame(rows, schema=q.schema)
+            want = sorted(map(tuple, out.collect()))
+            assert got == want, f"{name}: engine != pandas oracle ({len(got)} vs {len(want)} rows)"
+        path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+        out.coalesce(1).write.mode("overwrite").parquet(path)
+        print(f"golden {name}: {out.count()} rows -> {path}")
+
+    drains = build_drain_goldens(spark, sf_dir)
+    for name, pdf in drains.items():
+        write(name, pdf)
+    for name in ("simhash_groups", "minhash_candidates", "multimodal_features"):
+        write(name, None)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
