@@ -91,6 +91,9 @@ def main() -> None:
     timed("pipeline_docs", lambda: run_pipeline(spark, docs_t))
     docs = read_table(spark, sf_dir, "documents")
     timed("dedup_minhash", lambda: _noop(dedup.minhash_lsh_candidates(docs, k=32, bands=16)))
+    # JVM simhash (r2: was a per-row Python kernel — this entry tracks the
+    # explode+xxhash64+bit-majority rewrite)
+    timed("dedup_simhash", lambda: _noop(dedup.simhash_near_dups(docs).drop("ids")))
 
     ev = read_table(spark, sf_dir, "events")
     timed(

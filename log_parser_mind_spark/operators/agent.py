@@ -15,8 +15,8 @@ typed results. Spark rebuild:
      NOT available in this sandbox (same posture as multimodal codecs):
      ``openai_client_unavailable`` raises; tests and the oracle-checked query
      inject ``deterministic_mock_client``, a pure string transform.
-  3. POSTPROCESS — strip fences (functions.text.strip_fences_expr, F17) +
-     ``get_json_object`` field extraction, all JVM-side.
+  3. POSTPROCESS — strip fences (functions.text.strip_code_fences_expr, F17)
+     + ``get_json_object`` field extraction, all JVM-side.
 
 Determinism: prompt rendering and the mock are pure functions of the input
 row, so the stage is parallelism-invariant end-to-end.

@@ -75,6 +75,23 @@ def learning_stats(experiences: DataFrame) -> DataFrame:
     )
 
 
+def record_outcome(experiences: DataFrame, outcomes: DataFrame) -> DataFrame:
+    """S12 — UpdateFeedback / outcome updates (postgres/client.go:269-277:
+    ``UPDATE experiences SET … WHERE id=$1``) as batch semantics: outcomes
+    (experience_id, success, confidence, created_at) join the stored row,
+    the updated version is appended, and U1 latest-wins dedup keeps the
+    newest row per experience_id. Unknown experience_ids are ignored, like
+    an UPDATE matching zero rows."""
+    from .aggregate import latest_per_key
+
+    base = experiences.drop("success", "confidence", "created_at")
+    updated = outcomes.join(base, "experience_id", "inner").select(
+        *[f.name for f in EXPERIENCES.fields]
+    )
+    merged = experiences.unionByName(updated)
+    return latest_per_key(merged, "experience_id", "created_at", "experience_id")
+
+
 def insert_if_absent(experiences: DataFrame, new_rows: DataFrame) -> DataFrame:
     """U3 — ON CONFLICT (issue_signature) DO NOTHING
     (002_postgres_schema.sql:124): left-anti join before append."""

@@ -56,6 +56,20 @@ def test_insert_if_absent(experiences, spark):
     assert "disk full" in sigs
 
 
+def test_record_outcome_latest_wins(experiences, spark):
+    outcomes = spark.createDataFrame(
+        [("e3", True, 0.95, dt.datetime(2024, 2, 1)),   # flip e3 to success
+         ("e9", True, 1.0, dt.datetime(2024, 2, 1))],   # unknown id → ignored
+        "experience_id string, success boolean, confidence double, created_at timestamp",
+    )
+    merged = {r.experience_id: r for r in ex.record_outcome(experiences, outcomes).collect()}
+    assert len(merged) == 3  # no duplicates, e9 dropped (UPDATE matched 0 rows)
+    assert merged["e3"].success and merged["e3"].confidence == 0.95
+    assert merged["e3"].created_at == dt.datetime(2024, 2, 1)
+    assert merged["e3"].description == "raise limits"  # non-updated fields kept
+    assert merged["e1"].confidence == 0.9  # untouched rows unchanged
+
+
 def test_custom_redaction_patterns(spark):
     cfg = RedactorConfig(custom_patterns={"apikey": r"ak_[a-z0-9]{8}"})
     df = spark.createDataFrame([("key ak_a1b2c3d4 used by a@b.co",)], "text string")

@@ -123,6 +123,27 @@ def test_giant_leaf_guard_is_parallelism_invariant(spark):
     assert fingerprint(tr.repartition(1)) == fingerprint(tr.repartition(16))
 
 
+def test_tail_assignment_plan_is_broadcast_no_sort_merge(spark):
+    """The giant-leaf tail join must broadcast the mined templates (never
+    sort-merge/shuffle the tail on string keys) and re-spread the tail by
+    signature so one leaf is not one task."""
+    texts = [f"login attempt key zzqa{i:06d}x" for i in range(800)]
+    masked = masked_transcripts(_transcripts(spark, texts), 4)
+    a = mine_assignments(masked, _cfg(100), cache_sig_stats=False)
+    plan = a._sc._jvm.PythonSQLUtils.explainString(a._jdf.queryExecution(), "formatted")
+    # tail→mined-template match and the giant-key semi-join are broadcast
+    # (the per-sig stats join-back may statically plan as sort-merge — both
+    # sides are one-row-per-distinct-sig; AQE converts it at runtime)
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the tail repartition by signature appears as a hashpartitioning
+    # exchange on masked_sig
+    assert "hashpartitioning(masked_sig" in plan
+    # no Python at row level: only FlatMapGroupsInPandas (sample clustering)
+    # and MapInPandas (singleton ids over unmatched tail sigs)
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
 def test_guard_disabled_matches_legacy_exact_path(spark):
     # Below the cap, the guarded path must be byte-identical to the exact
     # sequential path (sample == whole leaf, tail empty).
