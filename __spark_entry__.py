@@ -48,7 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_drain_top_templates(spark, "/root/testdata/sf0.001")
 
 
-# -- drain pipeline family (rows-only checks; mining is not SQL-expressible) --
+# -- drain pipeline family (golden-backed checks; mining is not SQL-expressible,
+#    so the oracle is the independent pandas implementation's output — see the
+#    Golden oracles section) --
 
 
 def q_drain_top_templates(spark, sf_dir):
@@ -334,6 +336,30 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.7
+"""
+
+
+def q_text_search(spark, sf_dir):
+    """P11 — free-text search (declared-but-unimplemented in the reference,
+    api/proto/compression.proto:72): contains filter + recency order + limit,
+    through the real query.search_logs operator. ts is unique per doc at this
+    corpus (doc_id < 86400 → distinct second offsets), so the DuckDB order is
+    total and the limit deterministic."""
+    from log_parser_mind_spark.operators.parse import log_id_expr
+    from log_parser_mind_spark.operators.query import search_logs
+
+    tr = documents_as_transcripts(spark, sf_dir).withColumn(
+        "log_id", log_id_expr(F.col("conv_id"), F.col("turn_idx"))
+    )
+    return search_logs(tr, "er", limit=50).select("conv_id", "text")
+
+
+_ORACLE_TEXT_SEARCH = """
+SELECT printf('conv_%08d', doc_id) AS conv_id, text
+FROM documents
+WHERE text LIKE '%er%'
+ORDER BY doc_id % 86400 DESC, doc_id DESC
+LIMIT 50
 """
 
 
@@ -991,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_analyze": q_agent_analyze,
         # filters / predicates / json
         "filter_project": q_filter_project,
+        "text_search": q_text_search,
         "like_predicate": q_like_predicate,
         "validation": q_validation,
         "json_extract": q_json_extract,
@@ -1050,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _golden_sql("minhash_candidates", "id_a, id_b"),
         "multimodal_features": _golden_sql("multimodal_features", "asset_id, media_type, n_bytes"),
         "filter_project": _ORACLE_FILTER_PROJECT,
+        "text_search": _ORACLE_TEXT_SEARCH,
         "like_predicate": _ORACLE_LIKE_PREDICATE,
         "validation": _ORACLE_VALIDATION,
         "json_extract": _ORACLE_JSON_EXTRACT,

@@ -29,7 +29,15 @@ PARSED_SORT = ["source", "template_id", "ts"]  # 001_clickhouse_schema.sql:21 so
 
 
 def timed_pipeline_stages(spark, transcripts, config=None) -> dict[str, float]:
-    """Per-stage wall times of the flagship pipeline (bench/debug aid)."""
+    """Per-stage wall times of the flagship pipeline (bench/debug aid).
+
+    Uses the write-then-aggregate shape, NOT an in-memory persist of the wide
+    parsed rows: caching text+map rows in memory costs ~60 s of cache build
+    at any core count at sf0.1 and OOMs the default heap outright at the sf1
+    notch (~48M rows) — the same lesson the production job encodes
+    (plans/job.run commits a parquet snapshot and aggregates from it)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
     import time as _time
 
     from ..operators.parse import finalize_parsed, masked_transcripts
@@ -48,14 +56,18 @@ def timed_pipeline_stages(spark, transcripts, config=None) -> dict[str, float]:
     assignments = _miner.mine_assignments(masked, config).persist()
     t("mine", lambda: assignments.count())
     parsed = finalize_parsed(_miner.assign_templates(masked, assignments, config), config)
-    parsed = with_route(enrich_with_lookup(parsed, role_tool_lookup(spark))).persist()
-    t("parse_finalize", lambda: parsed.write.format("noop").mode("overwrite").save())
-    t("aggregates", lambda: [
-        df.write.format("noop").mode("overwrite").save()
-        for df in _downstream_sinks(parsed, config, None).values()
-    ])
-    parsed.unpersist()
-    assignments.unpersist()
+    parsed = with_route(enrich_with_lookup(parsed, role_tool_lookup(spark)))
+    tmp = _tempfile.mkdtemp(prefix="logmind_stages_")
+    try:
+        t("parse_finalize_write", lambda: parsed.write.mode("overwrite").parquet(f"{tmp}/parsed"))
+        snap = spark.read.parquet(f"{tmp}/parsed")
+        t("aggregates", lambda: [
+            df.write.format("noop").mode("overwrite").save()
+            for df in _downstream_sinks(snap, config, None).values()
+        ])
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        assignments.unpersist()
     return out
 
 
