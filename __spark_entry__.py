@@ -943,6 +943,74 @@ def q_agent_analyze(spark, sf_dir):
     )
 
 
+def q_agent_fix(spark, sf_dir):
+    """X4 fix flow (templates.go:48-89 generate_fix + client.go:60-158): the
+    conditional {{if}} blocks render natively (fix_block_exprs), the mock
+    derives risk from whether past experiences were attached — both template
+    branches exercised across the event types."""
+    from log_parser_mind_spark.operators import agent
+
+    events = _t(spark, sf_dir, "events")
+    req = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("event_type").alias("issue"),
+            F.format_string("%s occurred %d times", F.col("event_type"), F.col("cnt")).alias(
+                "issue_context"
+            ),
+            F.when(
+                F.col("event_type").contains("e"),
+                F.format_string("previously resolved %s by restart", F.col("event_type")),
+            )
+            .otherwise(F.lit(""))
+            .alias("similar"),
+        )
+        .withColumn(
+            "prompt",
+            agent.fix_prompt_expr(F.col("issue_context"), F.col("similar"), F.lit("")),
+        )
+    )
+    resp = agent.llm_stage(req, agent.deterministic_mock_fix_client)
+    return agent.parse_fix(resp).select("issue", "root_cause", "risk", "prompt_chars")
+
+
+def _oracle_agent_fix() -> str:
+    from log_parser_mind_spark.operators import agent
+
+    base = len(
+        agent.render_template(
+            "generate_fix", issue_context="", similar_experiences="", system_context=""
+        )
+    )
+    exp_const = (
+        len(
+            agent.render_template(
+                "generate_fix", issue_context="", similar_experiences="Z", system_context=""
+            )
+        )
+        - base
+        - 1
+    )
+    return f"""
+WITH req AS (
+  SELECT event_type AS issue,
+         event_type || ' occurred ' || count(*) || ' times' AS issue_context,
+         CASE WHEN event_type LIKE '%e%'
+              THEN 'previously resolved ' || event_type || ' by restart'
+              ELSE '' END AS similar_exp
+  FROM events GROUP BY event_type
+)
+SELECT issue,
+       'root cause of ' || issue_context AS root_cause,
+       CASE WHEN similar_exp <> '' THEN 'low' ELSE 'medium' END AS risk,
+       ({base} + length(issue_context)
+         + CASE WHEN similar_exp <> '' THEN {exp_const} + length(similar_exp) ELSE 0 END)::BIGINT
+         AS prompt_chars
+FROM req
+"""
+
+
 def _oracle_agent_analyze() -> str:
     from log_parser_mind_spark.operators import agent
 
@@ -1015,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_dups": q_minhash_verified_dups,
         "cosine_topk": q_cosine_topk,
         "agent_analyze": q_agent_analyze,
+        "agent_fix": q_agent_fix,
         # filters / predicates / json
         "filter_project": q_filter_project,
         "text_search": q_text_search,
@@ -1062,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_dups": _ORACLE_MINHASH_VERIFIED,
         "cosine_topk": _ORACLE_COSINE_TOPK,
         "agent_analyze": _oracle_agent_analyze(),
+        "agent_fix": _oracle_agent_fix(),
         # golden-backed (see the Golden oracles section header for provenance)
         "drain_top_templates": _golden_sql("drain_top_templates", "template_id, cnt"),
         "drain_templates": _golden_sql("drain_templates", "template_id, pattern, log_count"),

@@ -191,23 +191,59 @@ def render_template(name: str, **data: str) -> str:
     return PROMPT_TEMPLATES[name].format(**data)
 
 
+def prompt_expr(name: str, **cols) -> F.Column:
+    """ANY prompt template as ONE native format_string expression —
+    byte-identical to ``render_template`` (property-tested), so the
+    distributed render needs no Python. For generate_fix, pass the
+    PRE-RENDERED conditional sections (``similar_experiences_block`` /
+    ``system_context_block``) as columns — see ``fix_block_exprs``."""
+    import re
+
+    # {{ / }} are literal braces; {name} are placeholders.
+    tmpl = PROMPT_TEMPLATES[name].replace("{{", "\x00").replace("}}", "\x01")
+    pieces = re.split(r"\{(\w+)\}", tmpl)
+    fmt, args = [], []
+    for i, piece in enumerate(pieces):
+        if i % 2 == 0:
+            fmt.append(
+                piece.replace("\x00", "{").replace("\x01", "}").replace("%", "%%")
+            )
+        else:
+            fmt.append("%s")
+            args.append(cols[piece])
+    return F.format_string("".join(fmt), *args)
+
+
 def analyze_prompt_expr(log_patterns, time_range, source) -> F.Column:
-    """The analyze_logs prompt as ONE native format_string expression —
-    byte-identical to render_template('analyze_logs', ...), so the
-    distributed render needs no Python."""
-    head, rest = PROMPT_TEMPLATES["analyze_logs"].split("{log_patterns}")
-    mid, tail = rest.split("{time_range}")
-    mid2, tail2 = tail.split("{source}")
-    fmt = (
-        head.replace("%", "%%")
-        + "%s"
-        + mid.replace("%", "%%")
-        + "%s"
-        + mid2.replace("%", "%%")
-        + "%s"
-        + tail2.replace("{{", "{").replace("}}", "}").replace("%", "%%")
-    ).replace("{{", "{").replace("}}", "}")
-    return F.format_string(fmt, log_patterns, time_range, source)
+    """The analyze_logs prompt, JVM-rendered."""
+    return prompt_expr(
+        "analyze_logs", log_patterns=log_patterns, time_range=time_range, source=source
+    )
+
+
+def fix_block_exprs(similar_experiences, system_context) -> tuple[F.Column, F.Column]:
+    """The generate_fix template's two Go ``{{if}}`` sections as native
+    expressions — same present-iff-non-empty semantics as render_template."""
+    exp = F.when(
+        similar_experiences.isNotNull() & (similar_experiences != ""),
+        F.format_string("\nSimilar Past Experiences:\n%s\n", similar_experiences),
+    ).otherwise(F.lit("\n"))
+    sysb = F.when(
+        system_context.isNotNull() & (system_context != ""),
+        F.format_string("\nCurrent System State:\n%s\n", system_context),
+    ).otherwise(F.lit(""))
+    return exp, sysb
+
+
+def fix_prompt_expr(issue_context, similar_experiences, system_context) -> F.Column:
+    """The generate_fix prompt, JVM-rendered, conditionals included."""
+    exp, sysb = fix_block_exprs(similar_experiences, system_context)
+    return prompt_expr(
+        "generate_fix",
+        issue_context=issue_context,
+        similar_experiences_block=exp,
+        system_context_block=sysb,
+    )
 
 
 def build_analyze_requests(
@@ -283,6 +319,41 @@ def deterministic_mock_client(prompts: list[str]) -> list[str]:
             + "\n```"
         )
     return out
+
+
+def deterministic_mock_fix_client(prompts: list[str]) -> list[str]:
+    """Fix-flow mock: pure function of the generate_fix prompt. risk derives
+    from whether past experiences were attached (the reference rule
+    'prioritize fixes from past successful experiences'); everything is
+    DuckDB-replicable."""
+    out = []
+    for p in prompts:
+        lines = p.splitlines()
+        issue = next(
+            (lines[i + 1] for i, ln in enumerate(lines) if ln == "Issue Context:"),
+            "unknown",
+        )
+        risk = "low" if "Similar Past Experiences:" in p else "medium"
+        out.append(
+            "```json\n"
+            + '{"root_cause": "root cause of %s", "risk": "%s", "prompt_chars": %d}'
+            % (issue, risk, len(p))
+            + "\n```"
+        )
+    return out
+
+
+def parse_fix(responses: DataFrame, response_col: str = "response") -> DataFrame:
+    """Postprocess for the fix flow: fence strip + typed field extraction."""
+    clean = strip_code_fences_expr(F.col(response_col))
+    return responses.withColumn("clean_json", clean).select(
+        "*",
+        F.get_json_object(F.col("clean_json"), "$.root_cause").alias("root_cause"),
+        F.get_json_object(F.col("clean_json"), "$.risk").alias("risk"),
+        F.get_json_object(F.col("clean_json"), "$.prompt_chars")
+        .cast("long")
+        .alias("prompt_chars"),
+    )
 
 
 def openai_client_unavailable(prompts: list[str]) -> list[str]:

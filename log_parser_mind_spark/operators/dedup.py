@@ -82,6 +82,8 @@ def minhash_lsh_candidates(
     band hash = xxhash64 of the band's rows-per-band minhash slice; the
     self-join runs per (band_idx, band_hash) bucket, so cost is Σ bucket²,
     not n² — the LSH scale path."""
+    if k % bands != 0:
+        raise ValueError(f"k ({k}) must be divisible by bands ({bands})")
     rows_per_band = k // bands
     # Explode to one row per distinct shingle, then k min-aggregates: the
     # shingle expression evaluates ONCE per row (a nested k-way expression

@@ -70,6 +70,54 @@ def test_native_prompt_expr_is_byte_identical_to_python_render(spark):
     assert got == want
 
 
+def test_fix_prompt_expr_byte_identical_both_if_branches(spark):
+    rows = [("disk full on node3", "exp1", "sys1"), ("oom killer fired", "", ""),
+            ("latency spike", "past fix: scale", "")]
+    df = spark.createDataFrame(rows, "issue_context string, similar string, sysctx string")
+    got = [
+        r.p
+        for r in df.select(
+            agent.fix_prompt_expr(
+                F.col("issue_context"), F.col("similar"), F.col("sysctx")
+            ).alias("p")
+        ).collect()
+    ]
+    want = [
+        agent.render_template(
+            "generate_fix", issue_context=ic, similar_experiences=se, system_context=sc
+        )
+        for ic, se, sc in rows
+    ]
+    assert got == want
+
+
+def test_fix_flow_roundtrip_with_mock(spark):
+    rows = [("error-src", 1), ("xyz", 2)]  # one with 'e' (similar attached), one without
+    events = spark.createDataFrame(rows * 2, "event_type string, x int")
+    req = (
+        events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("event_type").alias("issue"),
+            F.format_string("%s occurred %d times", F.col("event_type"), F.col("cnt")).alias("issue_context"),
+            F.when(F.col("event_type").contains("e"),
+                   F.format_string("previously resolved %s by restart", F.col("event_type")))
+            .otherwise(F.lit("")).alias("similar"),
+        )
+        .withColumn("prompt", agent.fix_prompt_expr(F.col("issue_context"), F.col("similar"), F.lit("")))
+    )
+    out = {r.issue: r for r in agent.parse_fix(
+        agent.llm_stage(req, agent.deterministic_mock_fix_client)
+    ).collect()}
+    assert out["error-src"].risk == "low"       # experiences attached
+    assert out["xyz"].risk == "medium"          # no experiences → {{if}} empty
+    assert out["xyz"].root_cause == "root cause of xyz occurred 2 times"
+    want = agent.render_template(
+        "generate_fix",
+        issue_context="xyz occurred 2 times", similar_experiences="", system_context="",
+    )
+    assert out["xyz"].prompt_chars == len(want)
+
+
 def test_llm_stage_roundtrip_with_mock(spark):
     rows = [("error-source", 5), ("ok", 7)]
     events = spark.createDataFrame(rows * 3, "event_type string, x int")
