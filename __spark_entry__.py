@@ -432,11 +432,25 @@ def q_strip_fences(spark, sf_dir):
 
 
 _ORACLE_STRIP_FENCES = """
-SELECT doc_id,
-       trim(regexp_replace(regexp_replace('```json' || chr(10) || substr(text, 1, 40) || chr(10) || '```',
-                                          '^\\s*```(?:json|JSON)?\\s*\\n?', ''),
-                           '\\n?```\\s*$', '')) AS stripped
-FROM documents WHERE doc_id < 100
+-- Go cleanJSONResponse replica: TrimSpace; strip ```json / ``` prefix and a
+-- trailing ``` only inside a matched prefix branch; TrimSpace again.
+WITH fenced AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+           '```json' || chr(10) || substr(text, 1, 40) || chr(10) || '```',
+           '^\\s+', ''), '\\s+$', '') AS s
+  FROM documents WHERE doc_id < 100
+), body AS (
+  SELECT doc_id,
+         CASE WHEN s LIKE '```json%'
+                THEN regexp_replace(regexp_replace(s, '^```json', ''), '```$', '')
+              WHEN s LIKE '```%'
+                THEN regexp_replace(regexp_replace(s, '^```', ''), '```$', '')
+              ELSE s END AS b
+  FROM fenced
+)
+SELECT doc_id, regexp_replace(regexp_replace(b, '^\\s+', ''), '\\s+$', '') AS stripped
+FROM body
 """
 
 

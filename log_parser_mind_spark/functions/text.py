@@ -73,13 +73,31 @@ def quality_score_expr(text: Column) -> Column:
     )
 
 
+def _trim_ws(c: Column) -> Column:
+    """strings.TrimSpace analog — F.trim only removes ASCII spaces, but Go
+    trims all whitespace (the fence strip leaves a leading/trailing \\n)."""
+    return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
+
+
 def strip_code_fences_expr(text: Column) -> Column:
-    """F17 — markdown code-fence stripping (reference cleanJSONResponse,
-    internal/agent/llm/client.go:271-284): remove leading ```json / ``` fence
-    lines and a trailing ``` fence, trim whitespace."""
-    out = F.regexp_replace(text, r"^\s*```(?:json|JSON)?\s*\n?", "")
-    out = F.regexp_replace(out, r"\n?```\s*$", "")
-    return F.trim(out)
+    """F17 — markdown code-fence stripping, exactly the reference's
+    cleanJSONResponse (internal/agent/llm/client.go:271-284): TrimSpace, then
+    if the content starts with ```json (lowercase only) strip that prefix and
+    a trailing ``` IF PRESENT; else if it starts with ``` strip prefix+suffix
+    the same way; a trailing ``` with NO leading fence is left alone (Go only
+    TrimSuffixes inside the prefix branches). TrimSpace the result."""
+    t = _trim_ws(text)
+
+    def body(prefix_pattern: str) -> Column:
+        b = F.regexp_replace(t, prefix_pattern, "")
+        return F.regexp_replace(b, r"```$", "")
+
+    out = (
+        F.when(t.startswith("```json"), body(r"^```json"))
+        .when(t.startswith("```"), body(r"^```"))
+        .otherwise(t)
+    )
+    return _trim_ws(out)
 
 
 def fingerprint_expr(text: Column, mod: int = 1_000_000_007) -> Column:

@@ -70,7 +70,11 @@ Provide your analysis in JSON format with the following structure:
 
 Issue Context:
 {issue_context}
-{similar_experiences_block}{system_context_block}
+
+{similar_experiences_block}
+
+{system_context_block}
+
 Generate fix proposals in JSON format:
 {{
   "root_cause": "Clear description of the root cause",
@@ -173,7 +177,11 @@ Keep it under 300 words.""",
 
 def render_template(name: str, **data: str) -> str:
     """RenderTemplate (templates.go:198-216). generate_fix's optional blocks
-    reproduce Go's ``{{if .X}}...{{end}}`` — section present iff non-empty."""
+    reproduce Go's ``{{if .X}}...{{end}}`` byte-for-byte: the action lines
+    sit between blank lines in the Go source, so an if-true block contributes
+    ``\\nHeader:\\ncontent\\n`` and an if-false block contributes nothing —
+    the surrounding blank lines are template literals either way (both-empty
+    renders SIX newlines between the issue context and 'Generate fix')."""
     if name not in PROMPT_TEMPLATES:
         raise KeyError(f"template not found: {name}")
     if name == "generate_fix":
@@ -182,7 +190,7 @@ def render_template(name: str, **data: str) -> str:
         data = {
             "issue_context": data.get("issue_context", ""),
             "similar_experiences_block": (
-                f"\nSimilar Past Experiences:\n{exp}\n" if exp else "\n"
+                f"\nSimilar Past Experiences:\n{exp}\n" if exp else ""
             ),
             "system_context_block": (
                 f"\nCurrent System State:\n{sysctx}\n" if sysctx else ""
@@ -227,7 +235,7 @@ def fix_block_exprs(similar_experiences, system_context) -> tuple[F.Column, F.Co
     exp = F.when(
         similar_experiences.isNotNull() & (similar_experiences != ""),
         F.format_string("\nSimilar Past Experiences:\n%s\n", similar_experiences),
-    ).otherwise(F.lit("\n"))
+    ).otherwise(F.lit(""))
     sysb = F.when(
         system_context.isNotNull() & (system_context != ""),
         F.format_string("\nCurrent System State:\n%s\n", system_context),

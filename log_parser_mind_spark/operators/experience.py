@@ -81,15 +81,26 @@ def record_outcome(experiences: DataFrame, outcomes: DataFrame) -> DataFrame:
     (experience_id, success, confidence, created_at) join the stored row,
     the updated version is appended, and U1 latest-wins dedup keeps the
     newest row per experience_id. Unknown experience_ids are ignored, like
-    an UPDATE matching zero rows."""
+    an UPDATE matching zero rows.
+
+    Rows are tagged with an is-update flag used as the ordering tiebreak, so
+    an outcome whose created_at EQUALS the stored row's deterministically
+    wins (the reference's UPDATE applies unconditionally,
+    postgres/client.go:269-277); an outcome strictly OLDER than the stored
+    row is treated as stale and dropped — deliberate batch latest-wins
+    semantics, a documented divergence from the row-at-a-time UPDATE."""
     from .aggregate import latest_per_key
 
     base = experiences.drop("success", "confidence", "created_at")
-    updated = outcomes.join(base, "experience_id", "inner").select(
-        *[f.name for f in EXPERIENCES.fields]
+    updated = (
+        outcomes.join(base, "experience_id", "inner")
+        .select(*[f.name for f in EXPERIENCES.fields])
+        .withColumn("_is_update", F.lit(1))
     )
-    merged = experiences.unionByName(updated)
-    return latest_per_key(merged, "experience_id", "created_at", "experience_id")
+    merged = experiences.withColumn("_is_update", F.lit(0)).unionByName(updated)
+    return latest_per_key(merged, "experience_id", "created_at", "_is_update").drop(
+        "_is_update"
+    )
 
 
 def insert_if_absent(experiences: DataFrame, new_rows: DataFrame) -> DataFrame:

@@ -91,8 +91,9 @@ class SnapshotStore:
 
         # Per-partition row counts from parquet FOOTERS — metadata-only reads,
         # no second scan of data just written (at 100 TB a re-read would
-        # double the write stage's I/O). One output file = one write task =
-        # one lineage partition.
+        # double the write stage's I/O). Lineage partition = write TASK,
+        # identified by the part-NNNNN filename prefix (with partition_by a
+        # task emits one file per partition value; its files are summed).
         counts = self._footer_counts(path)
         total = sum(n for _, n in counts)
         # Atomic commit point FIRST, manifest rows after: a crash between the
@@ -114,7 +115,15 @@ class SnapshotStore:
 
     @staticmethod
     def _footer_counts(path: str) -> list[tuple[int, int]]:
-        """(partition_id, num_rows) per part file via parquet footer metadata."""
+        """(task_id, num_rows) per WRITE TASK via parquet footer metadata.
+
+        The task id is parsed from Spark's part-NNNNN filename prefix — stable
+        across listing order, and honest for partitioned sinks where one task
+        emits one file per partition value (those files share a prefix and
+        are summed). Files without the prefix (e.g. externally placed) fall
+        back to a high synthetic id so totals stay correct."""
+        import re
+
         import pyarrow.parquet as pq
 
         files = []
@@ -123,7 +132,13 @@ class SnapshotStore:
                 if name.endswith(".parquet"):
                     files.append(os.path.join(dirpath, name))
         files.sort()
-        return [(i, pq.ParquetFile(f).metadata.num_rows) for i, f in enumerate(files)]
+        part_re = re.compile(r"^part-(\d+)-")
+        counts: dict[int, int] = {}
+        for i, f in enumerate(files):
+            m = part_re.match(os.path.basename(f))
+            tid = int(m.group(1)) if m else 1_000_000 + i
+            counts[tid] = counts.get(tid, 0) + pq.ParquetFile(f).metadata.num_rows
+        return sorted(counts.items())
 
     def read(self, sink: str, snapshot: int | None = None) -> DataFrame:
         snapshot = self.latest_snapshot(sink) if snapshot is None else snapshot

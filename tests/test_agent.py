@@ -38,6 +38,30 @@ def test_generate_fix_optional_blocks_match_go_template_if():
     assert "Current System State:\nsys1" in with_exp
 
 
+def test_generate_fix_whitespace_byte_parity_with_go_template():
+    """Go text/template keeps the literal blank lines AROUND the {{if}} action
+    lines (templates.go:48-59): an if-true block contributes
+    '\\nHeader:\\ncontent\\n', if-false contributes ''. Expected strings below
+    are hand-derived from the Go source — both-empty yields SIX newlines
+    between the issue context and 'Generate fix'."""
+    def render(e, s):
+        return agent.render_template(
+            "generate_fix", issue_context="IC", similar_experiences=e, system_context=s
+        )
+
+    def mid(p):
+        a = p.index("Issue Context:\nIC") + len("Issue Context:\nIC")
+        return p[a:p.index("Generate fix proposals")]
+
+    assert mid(render("", "")) == "\n" * 6
+    assert mid(render("E", "")) == "\n\n\nSimilar Past Experiences:\nE\n\n\n\n\n"
+    assert mid(render("", "S")) == "\n\n\n\n\nCurrent System State:\nS\n\n\n"
+    assert (
+        mid(render("E", "S"))
+        == "\n\n\nSimilar Past Experiences:\nE\n\n\n\nCurrent System State:\nS\n\n\n"
+    )
+
+
 def test_all_five_templates_render():
     assert "5 Whys" in agent.render_template(
         "root_cause_analysis", symptoms="s", log_patterns="l", metrics="m", timeline="t"

@@ -70,6 +70,20 @@ def test_record_outcome_latest_wins(experiences, spark):
     assert merged["e1"].confidence == 0.9  # untouched rows unchanged
 
 
+def test_record_outcome_equal_timestamp_update_wins(experiences, spark):
+    """An outcome whose created_at EQUALS the stored row's must win
+    deterministically (unconditional-UPDATE semantics); a strictly older
+    outcome is stale and dropped."""
+    outcomes = spark.createDataFrame(
+        [("e1", False, 0.1, dt.datetime(2024, 1, 1)),   # equal ts → update wins
+         ("e2", False, 0.2, dt.datetime(2023, 12, 1))],  # older → stale, dropped
+        "experience_id string, success boolean, confidence double, created_at timestamp",
+    )
+    merged = {r.experience_id: r for r in ex.record_outcome(experiences, outcomes).collect()}
+    assert merged["e1"].confidence == 0.1 and merged["e1"].success is False
+    assert merged["e2"].confidence == 0.7 and merged["e2"].success is True
+
+
 def test_custom_redaction_patterns(spark):
     cfg = RedactorConfig(custom_patterns={"apikey": r"ak_[a-z0-9]{8}"})
     df = spark.createDataFrame([("key ak_a1b2c3d4 used by a@b.co",)], "text string")
@@ -83,6 +97,23 @@ def test_strip_code_fences(spark):
     )
     got = [r.s for r in df.select(tx.strip_code_fences_expr(F.col("text")).alias("s")).collect()]
     assert got == ['{"a": 1}', "no fences", "plain"]
+
+
+def test_strip_code_fences_matches_go_clean_json_response(spark):
+    """Edge semantics of cleanJSONResponse (client.go:271-284): a trailing
+    ``` with NO leading fence is NOT stripped (Go only TrimSuffixes inside
+    the prefix branches), ```JSON uppercase matches only the bare ```
+    branch, and an unterminated fence strips the prefix alone."""
+    cases = [
+        ("data\n```", "data\n```"),            # no leading fence → untouched
+        ('```JSON\n{"a": 1}\n```', 'JSON\n{"a": 1}'),  # uppercase → bare ``` branch
+        ("```json\n{\"a\": 1}", '{"a": 1}'),    # unterminated → prefix only
+        ("  ```\nx\n```  ", "x"),               # outer whitespace trimmed first
+        ("``````", ""),                          # prefix+suffix collapse
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "text string")
+    got = [r.s for r in df.select(tx.strip_code_fences_expr(F.col("text")).alias("s")).collect()]
+    assert got == [c[1] for c in cases]
 
 
 def test_sustainability_metrics(spark):
