@@ -97,6 +97,22 @@ def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_near_dups(docs).select("simhash", F.col("n").cast("long").alias("n"))
 
 
+def q_simhash_hamming_dups(spark, sf_dir):
+    """Hamming ≤ 3 simhash near-dup pairs via the exact 4×16-bit band join
+    (dedup.simhash_near_dup_pairs). The base corpus is augmented with one
+    perturbed variant per doc_id < 500 so nonzero-hamming pairs exist —
+    hamming-0 alone only catches identical token multisets. pytest proves
+    band join == exhaustive all-pairs on this exact shape
+    (test_simhash_hamming_band_join_equals_exhaustive)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") < 500).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    pairs = dedup.simhash_near_dup_pairs(docs.unionByName(variants), k=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_multimodal_features(spark, sf_dir):
     assets = multimodal.synth_assets(spark, n=64)
     feats = multimodal.decode_and_featurize(assets, fake=True)
@@ -1078,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_global_stats": q_drain_global_stats,
         "minhash_candidates": q_minhash_candidates,
         "simhash_groups": q_simhash_groups,
+        "simhash_hamming_dups": q_simhash_hamming_dups,
         "multimodal_features": q_multimodal_features,
         # grok/parse layer (oracle-checked)
         "mask_documents": q_mask_documents,
@@ -1158,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
             "total_logs, unique_templates, total_original_size, total_compressed_size, compression_ratio",
         ),
         "simhash_groups": _golden_sql("simhash_groups", "simhash, n"),
+        "simhash_hamming_dups": _golden_sql("simhash_hamming_dups", "id_a, id_b, hamming"),
         "minhash_candidates": _golden_sql("minhash_candidates", "id_a, id_b"),
         "multimodal_features": _golden_sql("multimodal_features", "asset_id, media_type, n_bytes"),
         "filter_project": _ORACLE_FILTER_PROJECT,

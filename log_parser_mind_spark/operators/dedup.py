@@ -216,12 +216,69 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Docs whose simhash collides exactly (hamming 0) — groupBy fingerprint.
-    For hamming ≤ k, join on 4×16-bit band slices instead (same shape as LSH)."""
+    For hamming ≤ k use ``simhash_near_dup_pairs`` (band join + exact verify)."""
     sh = simhash_table(docs, id_col, text_col)
     return (
         sh.groupBy("simhash")
         .agg(F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming ≤ k near-dup pairs over the 64-bit simhash — EXACT, not
+    approximate: with ``bands`` equal-width slices and ``k < bands``, any two
+    fingerprints within hamming k must agree on at least one whole slice
+    (pigeonhole: k differing bits can touch at most k < bands slices), so the
+    per-(band_idx, band_val) self-join has total recall; the in-bucket
+    ``bit_count(xor) ≤ k`` verify removes false band collisions.
+
+    100 TB shape: simhash_table is one shuffle with map-side combine; the
+    band explode is 4 rows per doc of (long, long, long); join cost is
+    Σ bucket² per band value, exactly the minhash-LSH shape — never an
+    all-pairs pass. Everything is JVM expressions (popcount via bit_count),
+    zero Python."""
+    if not 0 <= k < bands:
+        raise ValueError(f"k ({k}) must satisfy 0 <= k < bands ({bands}) for exact recall")
+    if 64 % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    sh = simhash_table(docs, id_col, text_col)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(mask)
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
     )
 
 

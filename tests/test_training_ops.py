@@ -95,6 +95,62 @@ def test_simhash(docs):
     assert ids == again
 
 
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """sf0.01 documents plus one lightly-perturbed variant per doc (a token
+    appended) — the variant's simhash lands within a few bits of the base, so
+    the corpus has genuine 1 ≤ hamming ≤ k pairs, not just exact collisions."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+def test_simhash_hamming_band_join_equals_exhaustive(near_dup_corpus):
+    """VERDICT r2 item 1: the 4×16-bit band join must find EXACTLY the pairs
+    an all-pairs scan finds (pigeonhole: ≤3 differing bits cannot touch all
+    4 slices) — same proof pattern as minhash_verified_dups."""
+    k = 3
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_dup_pairs(near_dup_corpus, k=k).collect()
+    }
+    sh = dedup.simhash_table(near_dup_corpus)
+    a, b = sh.alias("a"), sh.alias("b")
+    exhaustive = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .collect()
+    }
+    assert got == exhaustive
+    assert got, "corpus produced no near-dup pairs — test would be vacuous"
+    assert any(h > 0 for _, _, h in got), "need nonzero-hamming pairs to prove the band path"
+
+
+def test_simhash_hamming_pairs_all_jvm_and_guarded(docs):
+    df = dedup.simhash_near_dup_pairs(docs, k=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(docs, k=4, bands=4)  # k >= bands loses exactness
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(docs, k=2, bands=5)  # 5 does not divide 64
+
+
 def test_embedding_near_dups_and_topk(spark):
     import numpy as np
 

@@ -129,7 +129,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     drains = build_drain_goldens(spark, sf_dir)
     for name, pdf in drains.items():
         write(name, pdf)
-    for name in ("simhash_groups", "minhash_candidates", "multimodal_features"):
+    for name in (
+        "simhash_groups",
+        "simhash_hamming_dups",
+        "minhash_candidates",
+        "multimodal_features",
+    ):
         write(name, None)
     spark.stop()
 
