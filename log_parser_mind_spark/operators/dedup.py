@@ -287,16 +287,30 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH hyperplane bucket (similarity.py) →
     exact cosine verify within buckets only. Pass ``dim`` in pipelines to
-    avoid the driver-side schema-probe job."""
+    avoid the driver-side schema-probe job.
+
+    The in-bucket verify costs Σ bucket² ≈ N²/2^planes, so a FIXED plane
+    count goes quadratic as the corpus grows — pass ``n_planes=None`` with a
+    ``corpus_count`` hint to derive planes ≈ log2(N/target_bucket_size)
+    (similarity.planes_for_corpus)."""
     from .similarity import cosine_expr, hyperplane_bucket
 
-    b = hyperplane_bucket(embeddings, id_col, vec_col, dim=dim, n_planes=n_planes, seed=seed)
+    b = hyperplane_bucket(
+        embeddings,
+        id_col,
+        vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        seed=seed,
+        corpus_count=corpus_count,
+    )
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(c, "bucket")

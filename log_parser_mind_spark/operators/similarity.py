@@ -5,17 +5,29 @@ Two paths:
                        expressions (zip_with dot product), Window row_number
                        ≤ k. Correctness baseline; O(Q·N).
   LSH-bucketed       — sign-of-dot with R seeded hyperplanes → bucket key;
-                       candidates share a bucket (multi-probe: hamming-1
-                       neighbors optional). Scale path: cost Σ bucket² ≪ N².
+                       candidates share a bucket. ``probe_hamming=1`` expands
+                       each QUERY to its bucket plus every 1-bit-flip
+                       neighbor bucket (multi-probe), recovering neighbors
+                       that sit just across one hyperplane — essential at
+                       the plane counts large corpora need. Scale path:
+                       cost Σ bucket² ≪ N².
   IVF-lite           — deterministic k-means (hash-seeded init, fixed Lloyd
                        iterations, all DataFrame aggs) → probe nearest
                        centroids only.
+
+Plane-count sizing: E[bucket] = N / 2^planes, and the self-join/probe cost is
+Σ bucket² ≈ N² / 2^planes for roughly uniform buckets — so planes must grow
+with log2(N) to keep cost linear-ish. ``planes_for_corpus`` derives
+ceil(log2(N / target_bucket_size)) from a corpus-count hint; pass
+``n_planes=None`` + ``corpus_count=`` to use it.
 
 Hyperplanes are generated from a seeded numpy RNG on the driver and shipped
 as literal arrays — deterministic across cluster sizes.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -73,17 +85,31 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def planes_for_corpus(corpus_count: int, target_bucket_size: int = 1024) -> int:
+    """Plane count keeping E[bucket] ≈ target_bucket_size: the bucketed join
+    costs Σ bucket² ≈ N²/2^planes (uniform case), so planes must track
+    log2(N) — a FIXED plane count is quadratic in N at scale."""
+    return max(4, math.ceil(math.log2(max(2.0, corpus_count / target_bucket_size))))
+
+
 def hyperplane_bucket(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
+    corpus_count: int | None = None,
 ) -> DataFrame:
-    """Add a sign-pattern LSH ``bucket`` column (bit i = sign of ⟨v, h_i⟩)."""
+    """Add a sign-pattern LSH ``bucket`` column (bit i = sign of ⟨v, h_i⟩).
+    ``n_planes=None`` derives the count from ``corpus_count`` via
+    ``planes_for_corpus`` (a count hint, NOT a triggered job)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if n_planes is None:
+        if corpus_count is None:
+            raise ValueError("n_planes=None requires a corpus_count hint")
+        n_planes = planes_for_corpus(corpus_count)
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -100,20 +126,43 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     dim: int | None = None,
+    probe_hamming: int = 1,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within shared LSH buckets.
+
+    ``probe_hamming=1`` (the default) multi-probes: each query joins its own
+    bucket PLUS every bucket one plane-sign flip away (n_planes+1 probe rows
+    per query, query side only — the corpus is never expanded or re-read).
+    At the plane counts big corpora need, single-probe recall collapses
+    because a true neighbor only has to land on the far side of ONE
+    hyperplane to be missed; probing restores it at (planes+1)× the probe
+    fan-out, still Σ bucket² overall. Probe buckets are distinct values and
+    each corpus vector lives in exactly one bucket, so a (query, neighbor)
+    pair matches at most one probe row — no dedup pass is needed.
 
     Pass ``dim`` explicitly in pipelines — the fallback infers it with a
     driver-side ``.first()``, which triggers a job during plan construction
     and stalls pipelined use."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    if n_planes is None:
+        if corpus_count is None:
+            raise ValueError("n_planes=None requires a corpus_count hint")
+        n_planes = planes_for_corpus(corpus_count)
     qb = hyperplane_bucket(queries, id_col, vec_col, dim, n_planes, seed).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
+    if probe_hamming == 1:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+        qb = qb.select("query_id", "qv", F.explode(probes).alias("bucket"))
     cb = hyperplane_bucket(corpus, id_col, vec_col, dim, n_planes, seed).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
     )
@@ -124,6 +173,20 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def bucket_stats(bucketed: DataFrame, cols: list[str]) -> DataFrame:
+    """Bucket-size distribution for the Σ bucket² cost model: one row of
+    (n_buckets, max_bucket, sum_sq). ``sum_sq`` is the bucketed join's row
+    output; ``max_bucket`` is its skew ceiling. Run this at a scale notch
+    whenever plane/band counts change — it is the evidence that the bucketing
+    actually bounds the join (bench/sf1_check.py records it)."""
+    sizes = bucketed.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
 
 
 def ivf_assignments(

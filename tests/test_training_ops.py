@@ -192,6 +192,67 @@ def test_explicit_dim_builds_plans_without_a_job(spark):
     assert "cosine" in nd.columns
 
 
+def test_lsh_multiprobe_recall_floor(spark):
+    """VERDICT r2 item 2: at the plane counts a big corpus needs, single-probe
+    recall collapses (a true neighbor only has to cross ONE hyperplane);
+    hamming-1 probing must restore it. Planted-twin corpus (cosine ≈ 0.986,
+    the near-dup regime LSH serves), seeded → fully deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twin = base + 0.03 * rng.standard_normal((200, 32))
+    decoys = rng.standard_normal((400, 32))
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    c = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in twin[i]]) for i in range(200)]
+        + [(2000 + i, [float(x) for x in decoys[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, c, k=1).collect()
+    }
+
+    def recall(probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_topk(
+                q, c, k=1, n_planes=8, dim=32, probe_hamming=probe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= 0.9, f"multi-probe recall {r1} below floor"
+    assert r1 - r0 >= 0.15, f"probing should materially beat single-probe ({r0} -> {r1})"
+
+
+def test_planes_autoscale_and_bucket_stats(spark):
+    """VERDICT r2 item 5: n_planes must track log2(corpus); bucket_stats is
+    the Σ bucket² evidence."""
+    assert similarity.planes_for_corpus(1_000) == 4          # floor
+    assert similarity.planes_for_corpus(1 << 20, 1024) == 10
+    assert similarity.planes_for_corpus(1 << 30, 1024) == 20  # grows with log2(N)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, -1.0]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    b = similarity.hyperplane_bucket(emb, dim=4, n_planes=None, corpus_count=64_000)
+    stats = similarity.bucket_stats(b, ["bucket"]).collect()[0]
+    assert stats.n_buckets >= 1 and stats.max_bucket <= 64
+    assert stats.sum_sq >= stats.max_bucket**2
+    with pytest.raises(ValueError):
+        similarity.hyperplane_bucket(emb, dim=4, n_planes=None)  # no count hint
+    with pytest.raises(ValueError):
+        similarity.lsh_topk(emb, emb, dim=4, probe_hamming=2)
+
+
 def test_ivf_assignments_deterministic(spark):
     import numpy as np
 
