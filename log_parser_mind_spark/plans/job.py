@@ -15,7 +15,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import PipelineConfig
 from ..operators import aggregate as agg
@@ -132,13 +132,15 @@ def run(
     result = JobResult(sinks={})
     done = _committed_by_run(store, run_id) if resume else set()
 
-    def commit_stage(name: str, df_fn, sort=None) -> None:
+    def commit_stage(name: str, df_fn, sort=None, partition_by=None) -> None:
         if name in done:
             result.resumed.append(name)
             result.sinks[name] = store.read(name)
             return
         t0 = time.time()
-        store.commit(df_fn(), name, run_id=run_id, sort_within_partitions=sort)
+        store.commit(
+            df_fn(), name, run_id=run_id, sort_within_partitions=sort, partition_by=partition_by
+        )
         result.timings[name] = time.time() - t0
         result.sinks[name] = store.read(name)
 
@@ -155,7 +157,15 @@ def run(
             templates_lazy = t
         return parsed_lazy, templates_lazy
 
-    commit_stage("parsed_turns", lambda: build_parse()[0], sort=PARSED_SORT)
+    # parsed_turns is month-partitioned (001_clickhouse_schema.sql:20
+    # PARTITION BY toYYYYMM) so SnapshotStore.expire() can TTL whole month
+    # directories without ever rewriting surviving data.
+    commit_stage(
+        "parsed_turns",
+        lambda: build_parse()[0].withColumn("month", F.date_format("ts", "yyyy-MM")),
+        sort=PARSED_SORT,
+        partition_by=["month"],
+    )
     commit_stage("templates", lambda: build_parse()[1])
 
     parsed_committed = result.sinks["parsed_turns"]

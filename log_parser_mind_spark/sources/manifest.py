@@ -152,8 +152,48 @@ class SnapshotStore:
         return self.spark.read.schema(MANIFEST).parquet(os.path.join(self.root, "_manifest"))
 
     def expire(self, sink: str, ts_col: str, older_than: str) -> int:
-        """TTL maintenance (001_clickhouse_schema.sql:22 ``TTL timestamp +
-        INTERVAL 90 DAY``): rewrite latest snapshot without expired rows."""
-        df = self.read(sink)
-        kept = df.filter(F.col(ts_col) >= F.lit(older_than).cast("timestamp"))
-        return self.commit(kept, sink, run_id=f"ttl_{older_than}")
+        """TTL maintenance (001_clickhouse_schema.sql:20-22: ``PARTITION BY
+        toYYYYMM(timestamp)`` + ``TTL timestamp + INTERVAL 90 DAY``).
+
+        For a month-partitioned sink (commit(partition_by=["month"])), whole
+        ``month=`` directories strictly BEFORE the cutoff's month are deleted
+        — a metadata-scale operation that never reads or rewrites surviving
+        data, exactly how ClickHouse drops expired parts. Granularity is the
+        partition: rows inside the cutoff's own month survive until the whole
+        month ages out (same as part-level TTL drops). Idempotent — a crash
+        mid-way leaves some expired months for the next run.
+
+        For an unpartitioned sink this falls back to a filter + rewrite into
+        a NEW snapshot — correct, but a full-copy job at 100 TB; partition
+        production sinks by month (plans/job.py does for parsed_turns)."""
+        snapshot = self.latest_snapshot(sink)
+        if snapshot is None:
+            raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")
+        path = os.path.join(self._sink_dir(sink), f"snapshot={snapshot}")
+        months = sorted(
+            d for d in os.listdir(path)
+            if d.startswith("month=") and os.path.isdir(os.path.join(path, d))
+        )
+        if not months:
+            df = self.read(sink)
+            kept = df.filter(F.col(ts_col) >= F.lit(older_than).cast("timestamp"))
+            return self.commit(kept, sink, run_id=f"ttl_{older_than}")
+
+        import shutil
+
+        cutoff_month = older_than[:7]  # 'yyyy-MM' — lexicographic == chronological
+        expired_at = datetime.now(timezone.utc).replace(tzinfo=None)
+        rows = []
+        for d in months:
+            if d.split("=", 1)[1] >= cutoff_month:
+                continue
+            dropped = sum(n for _, n in self._footer_counts(os.path.join(path, d)))
+            shutil.rmtree(os.path.join(path, d))
+            rows.append(
+                (f"ttl_{older_than}", sink, snapshot, -1, int(dropped), 0, expired_at, f"expired:{d}")
+            )
+        if rows:
+            self.spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
+                os.path.join(self.root, "_manifest")
+            )
+        return snapshot

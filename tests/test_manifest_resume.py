@@ -106,9 +106,61 @@ def test_commit_counts_come_from_footers_not_a_second_scan(spark, transcripts, t
 
 
 def test_ttl_expiry(spark, transcripts, tmp_path):
+    """Unpartitioned sink: expire falls back to filter+rewrite (row-level)."""
     root = str(tmp_path / "wh5")
     store = SnapshotStore(spark, root)
     store.commit(transcripts, "t", run_id="a")
     cutoff = "2024-01-01 00:02:00"
     store.expire("t", "ts", cutoff)
     assert store.read("t").filter(f"ts < timestamp'{cutoff}'").count() == 0
+
+
+def test_ttl_partition_drop_never_rewrites_survivors(spark, tmp_path):
+    """VERDICT r2 item 3: on a month-partitioned sink, expire() deletes whole
+    expired month dirs and the surviving files are BYTE-IDENTICAL (untouched)
+    — no full-table rewrite. Granularity is the partition: rows inside the
+    cutoff's own month survive (ClickHouse part-level TTL semantics)."""
+    import glob
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh8")
+    store = SnapshotStore(spark, root)
+    rows = [(f"c{i}", 0, "user", f"msg {i}", "none", f"2024-0{m}-15 00:00:0{i % 10}")
+            for m in (1, 2, 3) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df = df.withColumn("month", F.date_format("ts", "yyyy-MM"))
+    store.commit(df, "parsed", run_id="a", partition_by=["month"])
+
+    def file_hashes():
+        out = {}
+        for f in glob.glob(os.path.join(root, "parsed", "snapshot=0", "month=*", "*.parquet")):
+            out[f] = hashlib.sha256(open(f, "rb").read()).hexdigest()
+        return out
+
+    before = file_hashes()
+    snap = store.expire("parsed", "ts", "2024-02-20 00:00:00")
+    assert snap == 0  # same snapshot — no rewrite commit happened
+    after = file_hashes()
+    # month=2024-01 dropped entirely; 2024-02 (cutoff's month) and 2024-03 intact
+    assert not any("month=2024-01" in f for f in after)
+    survivors = {f: h for f, h in before.items() if "month=2024-01" not in f}
+    assert after == survivors  # byte-identical, same files
+    got_months = {r.month for r in store.read("parsed").select("month").distinct().collect()}
+    assert got_months == {"2024-02", "2024-03"}
+    # lineage: one expired row recording the dropped month's row count
+    exp = store.manifest().filter("status like 'expired:%'").collect()
+    assert len(exp) == 1 and exp[0].rows_in == 20 and exp[0].status == "expired:month=2024-01"
+
+
+def test_job_parsed_turns_month_partitioned(spark, transcripts, tmp_path):
+    root = str(tmp_path / "wh9")
+    job.run(spark, transcripts, root=root, run_id="rp", now="2024-01-02 00:00:00")
+    month_dirs = [
+        d for d in os.listdir(os.path.join(root, "parsed_turns", "snapshot=0"))
+        if d.startswith("month=")
+    ]
+    assert month_dirs, "parsed_turns sink must be month-partitioned for partition-drop TTL"
