@@ -227,10 +227,10 @@ FROM documents
 
 
 def q_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = tx.with_tokens(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        tx.whitespace_token_count_expr(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size("tokens").cast("long").alias("n_ws_tokens"),
         tx.bpe_ish_token_count_expr(F.col("text")).cast("long").alias("n_bpe_tokens"),
         tx.punct_count_expr(F.col("text")).cast("long").alias("n_punct"),
     )
@@ -246,8 +246,10 @@ FROM documents
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", tx.lang_id_expr(F.col("text")).alias("lang_guess"))
+    # tokenize-once shape: tokens materialized in their own projection, the
+    # per-language hit exprs reference the attribute (one split in the plan).
+    docs = tx.with_tokens(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", tx.lang_id_from(F.col("tokens")).alias("lang_guess"))
 
 
 def _oracle_lang_id() -> str:
@@ -269,8 +271,10 @@ def _oracle_lang_id() -> str:
 
 
 def q_quality_scores(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", tx.quality_score_expr(F.col("text")).alias("quality"))
+    docs = tx.with_tokens(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", tx.quality_score_from(F.col("tokens"), F.col("text")).alias("quality")
+    )
 
 
 def _oracle_quality() -> str:

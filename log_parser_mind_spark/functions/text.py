@@ -24,19 +24,66 @@ def lower_tokens(text: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
-def stopword_hits_expr(text: Column, lang: str) -> Column:
+# -- tokens-column variants (the scale path) ---------------------------------
+# Catalyst does NOT common-subexpression higher-order/regex chains: an
+# expression tree that embeds lower_tokens(text) once per language re-runs
+# the regex split 5-6× per row (the exact trap documented at parse.py:28-39).
+# Materialize ``tokens`` ONCE in its own projection (CollapseProject keeps a
+# non-cheap alias referenced >1× in its own project), then feed the *_from
+# variants the attribute. The *_expr wrappers below remain for one-off use.
+
+
+def with_tokens(df, text_col: str = "text", out_col: str = "tokens"):
+    """Materialize the tokenization once; downstream *_from exprs reference
+    the attribute, so the plan contains exactly ONE regex split."""
+    return df.withColumn(out_col, lower_tokens(F.col(text_col)))
+
+
+def stopword_hits_from(tokens: Column, lang: str) -> Column:
     words = LANG_STOPWORDS[lang]
-    return F.size(F.filter(lower_tokens(text), lambda t: t.isin(*words)))
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
-def lang_id_expr(text: Column, min_hits: int = 1) -> Column:
+def lang_id_from(tokens: Column, min_hits: int = 1) -> Column:
     """Argmax of stopword hits with fixed precedence; 'unknown' below min_hits."""
-    hits = {lang: stopword_hits_expr(text, lang) for lang in LANG_ORDER}
+    hits = {lang: stopword_hits_from(tokens, lang) for lang in LANG_ORDER}
     best = F.greatest(*hits.values())
     expr = F.lit("unknown")
     for lang in reversed(LANG_ORDER):
         expr = F.when((hits[lang] == best) & (best >= min_hits), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def quality_score_from(tokens: Column, text: Column) -> Column:
+    """Composite [0,1] quality score from length / punctuation / stopword
+    ratios over a MATERIALIZED tokens column (token-derived terms reference
+    the attribute; chars/punct are one pass over the raw text)."""
+    n_tok = F.size(tokens)
+    n_chars = F.length(F.coalesce(text, F.lit("")))
+    punct = punct_count_expr(text)
+    stop = stopword_hits_from(tokens, "en")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (1 - F.least(punct_ratio * 4, F.lit(1.0))),
+        6,
+    )
+
+
+# -- text-column convenience wrappers (one-off use, NOT the 100 TB pass) -----
+
+
+def stopword_hits_expr(text: Column, lang: str) -> Column:
+    return stopword_hits_from(lower_tokens(text), lang)
+
+
+def lang_id_expr(text: Column, min_hits: int = 1) -> Column:
+    """Convenience wrapper — inlines one split per language; use
+    ``with_tokens`` + ``lang_id_from`` in pipelines."""
+    return lang_id_from(lower_tokens(text), min_hits)
 
 
 def whitespace_token_count_expr(text: Column) -> Column:
@@ -55,22 +102,9 @@ def punct_count_expr(text: Column) -> Column:
 
 
 def quality_score_expr(text: Column) -> Column:
-    """Composite [0,1] quality score from length / punctuation / stopword
-    ratios — the heuristic pre-filter a training pipeline runs before
-    expensive stages. Pure arithmetic; identical formula in the oracle SQL."""
-    n_tok = whitespace_token_count_expr(text)
-    n_chars = F.length(F.coalesce(text, F.lit("")))
-    punct = punct_count_expr(text)
-    stop = stopword_hits_expr(text, "en")
-    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
-    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
-    return F.round(
-        F.lit(0.4) * len_score
-        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
-        + F.lit(0.3) * (1 - F.least(punct_ratio * 4, F.lit(1.0))),
-        6,
-    )
+    """Convenience wrapper over ``quality_score_from`` — inlines extra splits;
+    use ``with_tokens`` + ``quality_score_from`` in pipelines."""
+    return quality_score_from(lower_tokens(text), text)
 
 
 def _trim_ws(c: Column) -> Column:
