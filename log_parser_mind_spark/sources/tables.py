@@ -2,9 +2,10 @@
 
 The batch source replacing the reference's push ingest (S1-S3) is a
 partitioned columnar read; sinks S4-S7 are snapshot commits (manifest.py).
-When an Iceberg catalog is configured the same calls route through
-``writeTo``/`MERGE INTO`; the sandbox has no Iceberg jar (SURVEY §7.2), so
-`iceberg_available()` gates that path.
+When an Iceberg catalog is configured, ``iceberg.snapshot_store`` routes the
+same calls through ``writeTo``/``MERGE INTO`` (iceberg.IcebergStore); the
+sandbox has no Iceberg jar (SURVEY §7.2), so `iceberg_available()` gates
+that path and the parquet emulation is the in-sandbox default.
 """
 
 from __future__ import annotations
