@@ -364,6 +364,34 @@ def parse_fix(responses: DataFrame, response_col: str = "response") -> DataFrame
     )
 
 
+def make_concurrent_client(
+    client: Callable[[list[str]], list[str]],
+    max_workers: int = 4,
+    chunk_size: int = 16,
+) -> Callable[[list[str]], list[str]]:
+    """Bounded-concurrency wrapper for a NETWORK-BOUND client: one synchronous
+    client() per Arrow batch serializes what is really a remote call, so the
+    wrapper splits the batch into chunks and issues them on a thread pool —
+    order-preserving (executor.map keeps input order) and bounded (the pool
+    is created per call, so worker count never exceeds
+    max_workers × concurrent Arrow batches). Wrap the REAL client only; the
+    deterministic mocks are CPU-trivial and gain nothing."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(prompts: list[str]) -> list[str]:
+        if len(prompts) <= chunk_size:
+            return client(prompts)
+        chunks = [prompts[i : i + chunk_size] for i in range(0, len(prompts), chunk_size)]
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            results = list(ex.map(client, chunks))
+        out = [r for chunk in results for r in chunk]
+        if len(out) != len(prompts):
+            raise ValueError(f"client returned {len(out)} responses for {len(prompts)} prompts")
+        return out
+
+    return run
+
+
 def openai_client_unavailable(prompts: list[str]) -> list[str]:
     """The reference's network client (client.go:60-98) needs an API endpoint
     this sandbox does not have. Explicitly unavailable, never silently fake."""
