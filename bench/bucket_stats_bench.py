@@ -1,0 +1,137 @@
+"""Bucket-size evidence for the Σ bucket² cost model (VERDICT r2 item 5).
+
+Replicates the sf0.1 documents corpus ×R (each replica gets a distinct token
+so shingles differ) to build a larger notch, then records
+(n_buckets, max_bucket, sum_sq) for:
+
+  - minhash LSH band buckets (band_idx, band_hash)
+  - simhash 16-bit band slices (band_idx, band_val)
+  - embedding hyperplane buckets at FIXED 8 planes vs planes_for_corpus(N)
+
+sum_sq is the bucketed self-join's output row count — the number that must
+stay ~linear in N for the dedup suite to hold at 100 TB. Prints ONE JSON
+line; results recorded in BENCH/BASELINE.md.
+
+Usage: python bench/bucket_stats_bench.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from log_parser_mind_spark.operators import dedup, similarity  # noqa: E402
+from log_parser_mind_spark.session import get_spark  # noqa: E402
+
+
+def _stats(df, cols):
+    r = similarity.bucket_stats(df, cols).collect()[0]
+    return {"n_buckets": r.n_buckets, "max_bucket": r.max_bucket, "sum_sq": r.sum_sq}
+
+
+def main(replicas: int = 16) -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="bucket_stats", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+    rep = spark.range(replicas).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(rep).select(
+        (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string")).alias("text"),
+    )
+    n_docs = big.count()
+
+    # minhash band buckets, exactly the shape minhash_lsh_candidates joins on
+    k, bands = 32, 8
+    rows_per_band = k // bands
+    exploded = big.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(dedup.shingles_expr(F.col("text"), 3))).alias("shingle"),
+    )
+    sig = exploded.groupBy("id").agg(
+        F.array(*[F.min(F.xxhash64(F.lit(i), F.col("shingle"))) for i in range(k)]).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    minhash_stats = _stats(banded, ["band_idx", "band_hash"])
+
+    # simhash 16-bit band slices (the hamming<=k join key)
+    sh = dedup.simhash_table(big)
+    width, nb = 16, 4
+    sim_banded = sh.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("band_val"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_val")
+    simhash_stats = _stats(sim_banded, ["band_idx", "band_val"])
+
+    # hyperplane buckets: fixed 8 planes vs auto-scaled planes_for_corpus
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_big = emb.crossJoin(rep).select(
+        (F.col("vec_id") * replicas + F.col("rep")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: v + (F.col("rep") % 7).cast("float") * F.lit(0.01)
+        ).alias("embedding"),
+    )
+    n_vecs = emb_big.count()
+    auto_planes = similarity.planes_for_corpus(n_vecs, target_bucket_size=256)
+    hp_fixed = _stats(similarity.hyperplane_bucket(emb_big, dim=64, n_planes=8), ["bucket"])
+    hp_auto = _stats(
+        similarity.hyperplane_bucket(emb_big, dim=64, n_planes=auto_planes), ["bucket"]
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "bucket-size distribution at the replicated notch",
+                "n_docs": n_docs,
+                "n_vecs": n_vecs,
+                "minhash_bands": minhash_stats,
+                "simhash_bands": simhash_stats,
+                "hyperplane_fixed8": hp_fixed,
+                "hyperplane_auto": {"planes": auto_planes, **hp_auto},
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*map(int, sys.argv[1:]))
