@@ -443,6 +443,120 @@ QUALIFY rank <= 3
 """
 
 
+def _plane_sql_literals(n_planes: int, dim: int = 64, seed: int = 42) -> list[str]:
+    """The SAME seeded hyperplanes similarity._hyperplanes ships to Spark as
+    F.lit arrays, rendered as DuckDB DOUBLE[] literals — so the oracle
+    replicates the bucketing bit-for-bit instead of trusting it."""
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    return ["[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes]
+
+
+def _bucket_sql(vec: str, n_planes: int) -> str:
+    """bucket bit i = sign of <v, h_i>, exactly hyperplane_bucket's expression."""
+    return " + ".join(
+        f"CASE WHEN list_dot_product({vec}, {p}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(_plane_sql_literals(n_planes))
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup: hyperplane LSH bucket → exact in-bucket
+    cosine verify (the Σ bucket² scale path, never all-pairs). The oracle
+    replicates the bucketing itself (same plane literals), so the check
+    covers the LSH partitioning AND the verify, not just the final filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, threshold=0.3, n_planes=6, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _oracle_embedding_near_dups() -> str:
+    cos = (
+        "list_dot_product(a.v, c.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v', 6)} AS bucket FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b, round({cos}, 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {cos} >= 0.3
+"""
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate top-k ANN via hyperplane LSH with hamming-1 multi-probe:
+    each query joins its own bucket plus every 1-bit-flip neighbor bucket.
+    Oracle replicates buckets + probe expansion + ranking in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.lsh_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 5),
+        k=3, n_planes=4, probe_hamming=1, dim=64,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _oracle_lsh_ann_topk() -> str:
+    probes = ", ".join(["qb.bucket"] + [f"xor(qb.bucket, {1 << i})" for i in range(4)])
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+qb AS (SELECT query_id, qv, {_bucket_sql('qv', 4)}::BIGINT AS bucket FROM q),
+qp AS (SELECT query_id, qv, u.bucket FROM qb, UNNEST([{probes}]) AS u(bucket)),
+cb AS (SELECT neighbor_id, cv, {_bucket_sql('cv', 4)}::BIGINT AS bucket FROM c),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM qp JOIN cb USING (bucket)
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q_search_similar(spark, sf_dir):
+    """J4 — substring-similarity experience search (cmd/experience/main.go:
+    92-116: two-way signature containment, confidence-then-recency ranked
+    top-k). Experiences derived deterministically from documents."""
+    from log_parser_mind_spark.operators import experience
+
+    docs = _t(spark, sf_dir, "documents")
+    exps = docs.select(
+        F.format_string("exp-%06d", F.col("doc_id")).alias("experience_id"),
+        F.substring(F.lower("text"), 1, 24).alias("issue_signature"),
+        (F.col("doc_id") % 97 / F.lit(97.0)).alias("confidence"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("doc_id") % 13) * 3600).alias(
+            "created_at"
+        ),
+    )
+    top = experience.search_similar(exps, "slow", top_k=5)
+    return top.select(
+        "experience_id", "issue_signature", F.round("confidence", 6).alias("confidence")
+    )
+
+
+_ORACLE_SEARCH_SIMILAR = """
+WITH exps AS (
+  SELECT printf('exp-%06d', doc_id) AS experience_id,
+         substr(lower(text), 1, 24) AS issue_signature,
+         (doc_id % 97) / 97.0 AS confidence,
+         to_timestamp(1704067200 + (doc_id % 13) * 3600) AS created_at,
+         doc_id
+  FROM documents
+)
+SELECT experience_id, issue_signature, round(confidence, 6) AS confidence
+FROM exps
+WHERE contains(issue_signature, 'slow') OR contains('slow', issue_signature)
+ORDER BY confidence DESC, created_at DESC, experience_id
+LIMIT 5
+"""
+
+
 def q_strip_fences(spark, sf_dir):
     """F17 — code-fence stripping over fenced documents (fences synthesized
     deterministically so the operator has something to strip)."""
@@ -1116,7 +1230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_verified_dups": q_minhash_verified_dups,
+        "embedding_near_dups": q_embedding_near_dups,
         "cosine_topk": q_cosine_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "search_similar": q_search_similar,
         "agent_analyze": q_agent_analyze,
         "agent_fix": q_agent_fix,
         # filters / predicates / json
@@ -1164,7 +1281,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _ORACLE_EXACT_DEDUP,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "minhash_verified_dups": _ORACLE_MINHASH_VERIFIED,
+        "embedding_near_dups": _oracle_embedding_near_dups(),
         "cosine_topk": _ORACLE_COSINE_TOPK,
+        "lsh_ann_topk": _oracle_lsh_ann_topk(),
+        "search_similar": _ORACLE_SEARCH_SIMILAR,
         "agent_analyze": _oracle_agent_analyze(),
         "agent_fix": _oracle_agent_fix(),
         # golden-backed (see the Golden oracles section header for provenance)

@@ -338,3 +338,28 @@ def test_multimodal_plumbing(spark):
     assert frames.filter("frame_ts_ms > 0").count() > 0
     stats = {r.media_type: r.n_assets for r in multimodal.media_stats(assets).collect()}
     assert stats == {"image": 4, "audio": 4, "video": 4}
+
+
+def test_new_contract_queries_match_duckdb_oracle(spark, sf_dir):
+    """Lock the round-3 contract additions (embedding_near_dups, lsh_ann_topk,
+    search_similar) to their DuckDB oracles — the oracles replicate the LSH
+    bucketing itself (inlined plane literals), so this covers the partitioning
+    strategy, not just the final filter."""
+    import glob
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import norm_df
+
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f).removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("embedding_near_dups", "lsh_ann_topk", "search_similar"):
+        got = qs[name](spark, sf_dir).toPandas()
+        want = con.execute(oracles[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert norm_df(got) == norm_df(want), name
