@@ -113,6 +113,37 @@ def q_simhash_hamming_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_streaming_templates(spark, sf_dir):
+    """T1-T8 — foreachBatch incremental mining (availableNow trigger) over the
+    SAME corpus as q_drain_templates, oracled against the SAME golden: the
+    streaming path must converge EXACTLY — template set AND per-template
+    log_count mass — to the one-shot batch mine. Seeded re-mining (committed
+    templates pre-populate each batch's clusterers) plus content-hash template
+    ids make the merge exact, not approximate. Two range-split input files →
+    two micro-batches, so batch 2 genuinely exercises the seeding path."""
+    import tempfile
+
+    from log_parser_mind_spark.sources.manifest import SnapshotStore
+    from log_parser_mind_spark.streaming.stream import (
+        incremental_pipeline,
+        stream_transcripts,
+    )
+
+    root = tempfile.mkdtemp(prefix="logmind_stream_contract_")
+    t = documents_as_transcripts(spark, sf_dir)
+    t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
+    q = (
+        incremental_pipeline(
+            spark, stream_transcripts(spark, f"{root}/input", max_files=1), f"{root}/snap"
+        )
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    store = SnapshotStore(spark, f"{root}/snap")
+    return store.read("stream_templates").select("template_id", "pattern", "log_count")
+
+
 def q_multimodal_features(spark, sf_dir):
     assets = multimodal.synth_assets(spark, n=64)
     feats = multimodal.decode_and_featurize(assets, fake=True)
@@ -177,6 +208,64 @@ def _oracle_detect_pii() -> str:
         f"SELECT doc_id, coalesce(array_to_string(list_filter([{cases}], x -> x IS NOT NULL), ','), '') "
         "AS pii_types FROM documents"
     )
+
+
+def _custom_redactor_config():
+    from log_parser_mind_spark.config import RedactorConfig
+
+    return RedactorConfig(
+        custom_patterns={"ticket": r"TKT-\d+", "build": r"bld_[a-z0-9]+"}
+    )
+
+
+def q_custom_redaction(spark, sf_dir):
+    """X2 — user-supplied custom PII patterns (redactor.go custom → [REDACTED])
+    compose with the built-in set: built-ins in canonical order first, then
+    customs in sorted-name order. Matches synthesized deterministically so the
+    customs and the ipv4 built-in all fire."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" ref TKT-"), F.col("doc_id").cast("string"),
+        F.lit(" bld_a1 ip 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+    )
+    return docs.select(
+        "doc_id", redaction.redact_expr(synth, _custom_redactor_config()).alias("redacted")
+    )
+
+
+def _oracle_custom_redaction() -> str:
+    synth = (
+        "text || ' ref TKT-' || doc_id || ' bld_a1 ip 10.0.0.' || (doc_id % 255)"
+    )
+    expr = f"({synth})"
+    for _, pattern, placeholder in redaction.active_patterns(_custom_redactor_config()):
+        expr = f"regexp_replace({expr}, '{pattern}', '{placeholder}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents WHERE doc_id < 300"
+
+
+def q_map_sizes(spark, sf_dir):
+    """A12/F5 — map construction + byte-size aggregate (estimateVariablesSize,
+    cmd/compression/main.go:85-91: Σ len(key)+len(value) over the variables
+    map) over a deterministically derived map — first 3 tokens keyed
+    var_0..var_2 — so the check has no mining dependency."""
+    from log_parser_mind_spark.operators.parse import map_size_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 3)
+    keys = F.transform(toks, lambda _t, i: F.concat(F.lit("var_"), i.cast("string")))
+    variables = F.map_from_arrays(keys, toks)
+    return docs.select(
+        "doc_id", map_size_expr(variables).cast("long").alias("var_bytes")
+    )
+
+
+_ORACLE_MAP_SIZES = """
+SELECT doc_id,
+       coalesce(list_sum(list_transform(string_split(text, ' ')[1:3],
+                                        x -> 5 + strlen(x))), 0)::BIGINT AS var_bytes
+FROM documents
+"""
 
 
 def q_mask_partial(spark, sf_dir):
@@ -1213,11 +1302,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash_groups": q_simhash_groups,
         "simhash_hamming_dups": q_simhash_hamming_dups,
+        "streaming_templates": q_streaming_templates,
         "multimodal_features": q_multimodal_features,
         # grok/parse layer (oracle-checked)
         "mask_documents": q_mask_documents,
         "redact_documents": q_redact_documents,
         "detect_pii": q_detect_pii,
+        "custom_redaction": q_custom_redaction,
+        "map_sizes": q_map_sizes,
         "mask_partial": q_mask_partial,
         "doc_sizes": q_doc_sizes,
         "strip_fences": q_strip_fences,
@@ -1270,6 +1362,8 @@ def oracle_sql() -> dict[str, str]:
         "mask_documents": _ORACLE_MASK,
         "redact_documents": _oracle_redact(),
         "detect_pii": _oracle_detect_pii(),
+        "custom_redaction": _oracle_custom_redaction(),
+        "map_sizes": _ORACLE_MAP_SIZES,
         "mask_partial": _ORACLE_MASK_PARTIAL,
         "doc_sizes": _ORACLE_DOC_SIZES,
         "strip_fences": _ORACLE_STRIP_FENCES,
@@ -1290,6 +1384,10 @@ def oracle_sql() -> dict[str, str]:
         # golden-backed (see the Golden oracles section header for provenance)
         "drain_top_templates": _golden_sql("drain_top_templates", "template_id, cnt"),
         "drain_templates": _golden_sql("drain_templates", "template_id, pattern, log_count"),
+        # the streaming path must converge EXACTLY to the batch mine — same golden
+        "streaming_templates": _golden_sql(
+            "drain_templates", "template_id, pattern, log_count"
+        ),
         "drain_parsed_turns": _golden_sql(
             "drain_parsed_turns",
             "conv_id, turn_idx, template_id, is_new, original_size, compressed_size",
