@@ -230,15 +230,23 @@ def ivf_assignments(
 
     assigned = assign(centroids)
     for _ in range(iterations):
-        means = assigned.groupBy("centroid_id").agg(
-            *[
-                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
-                for i in range(dim)
-            ]
-        ).collect()
+        # posexplode → groupBy(centroid, dim) keeps the plan THREE columns
+        # wide at any dimensionality — `dim` separate avg agg expressions
+        # would be a codegen blowup at dim=1536. The collect stays k×dim
+        # values either way (inherent to Lloyd iterations).
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("dim_idx", "val")
+            )
+            .groupBy("centroid_id", "dim_idx")
+            .agg(F.avg("val").alias("avg"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.centroid_id, {})[r.dim_idx] = float(r.avg)
         centroids = [
-            [float(r[f"d{i}"]) for i in range(dim)]
-            for r in sorted(means, key=lambda r: r.centroid_id)
+            [by_cid[cid][i] for i in range(dim)] for cid in sorted(by_cid)
         ]
         assigned = assign(centroids)
     return assigned

@@ -68,6 +68,7 @@ class SnapshotStore:
         snapshot: int | None = None,
         sort_within_partitions: list[str] | None = None,
         partition_by: list[str] | None = None,
+        marker_extra: dict | None = None,
     ) -> int:
         """Write ``df`` as the next snapshot of ``sink`` atomically and record
         per-partition row counts in the manifest. Returns the snapshot id.
@@ -102,7 +103,10 @@ class SnapshotStore:
         # left a manifest row pointing at a snapshot store.read() could not
         # find — a crash window that broke the exact kill/re-run guarantee.
         with open(os.path.join(path, COMMIT_MARKER), "w") as fh:
-            json.dump({"run_id": run_id, "rows": total, "ts": time.time()}, fh)
+            json.dump(
+                {"run_id": run_id, "rows": total, "ts": time.time(), **(marker_extra or {})},
+                fh,
+            )
         committed_at = datetime.now(timezone.utc).replace(tzinfo=None)
         rows = [
             (run_id, sink, snapshot, int(pid), None, int(n), committed_at, "committed")
@@ -139,6 +143,114 @@ class SnapshotStore:
             tid = int(m.group(1)) if m else 1_000_000 + i
             counts[tid] = counts.get(tid, 0) + pq.ParquetFile(f).metadata.num_rows
         return sorted(counts.items())
+
+    def _marker(self, sink: str, snapshot: int) -> dict:
+        with open(
+            os.path.join(self._sink_dir(sink), f"snapshot={snapshot}", COMMIT_MARKER)
+        ) as fh:
+            return json.load(fh)
+
+    def _compacted_through(self, sink: str) -> int:
+        """Highest snapshot id covered by any compaction — snapshots ≤ this
+        are superseded (their rows live in the compaction snapshot)."""
+        return max(
+            (
+                self._marker(sink, s).get("compacted_through", -1)
+                for s in self.committed_snapshots(sink)
+            ),
+            default=-1,
+        )
+
+    def visible_snapshots(self, sink: str) -> list[int]:
+        """The append-table view: committed snapshots not superseded by a
+        compaction. A compaction snapshot itself is visible (its id is above
+        its own ``compacted_through``), as is every epoch after it."""
+        through = self._compacted_through(sink)
+        return [s for s in self.committed_snapshots(sink) if s > through]
+
+    def read_all(self, sink: str) -> DataFrame:
+        """Read the APPEND-table view of a sink: the union of every visible
+        snapshot (streaming epochs each commit one snapshot — the table is
+        their union, unlike replace-style sinks where read() = latest). One
+        multi-path scan node, not a driver loop of unions."""
+        snaps = self.visible_snapshots(sink)
+        if not snaps:
+            raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")
+        d = self._sink_dir(sink)
+        return self.spark.read.parquet(*[os.path.join(d, f"snapshot={s}") for s in snaps])
+
+    def compact(
+        self,
+        sink: str,
+        rows_per_file: int = 1_000_000,
+        sort_within_partitions: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE analog for append-style sinks: consolidate every visible
+        snapshot (e.g. hundreds of per-epoch streaming commits, each a pile of
+        small files) into ONE right-sized snapshot. The reference gets this
+        for free from ClickHouse background merges (MergeTree parts); the
+        parquet emulation needs it explicitly or small files accumulate
+        without bound.
+
+        Atomicity: the consolidated snapshot's commit marker carries
+        ``compacted_through`` = the highest source snapshot id; creating that
+        marker is the single commit point that flips ``read_all`` over to the
+        consolidated view. A crash before it leaves the old view fully
+        intact; the source dirs are only physically deleted later by
+        ``vacuum``. Shuffle-free: file count is set with coalesce (balance
+        comes from the many source files), unless ``partition_by`` re-layout
+        is requested."""
+        sources = self.visible_snapshots(sink)
+        if not sources:
+            raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")
+        total_rows = sum(
+            self._marker(sink, s).get("rows", 0) for s in sources
+        )
+        n_files = max(1, -(-total_rows // rows_per_file))
+        df = self.read_all(sink)
+        if not partition_by:
+            df = df.coalesce(n_files)
+        return self.commit(
+            df,
+            sink,
+            run_id=f"compact_{sources[0]}_{sources[-1]}",
+            sort_within_partitions=sort_within_partitions,
+            partition_by=partition_by,
+            marker_extra={"compacted_through": sources[-1], "compacted_from": sources},
+        )
+
+    def vacuum(self, sink: str, keep_last: int | None = None) -> list[int]:
+        """Physically delete superseded snapshot dirs. Always safe for
+        snapshots ≤ ``compacted_through`` (their rows live in the compaction
+        snapshot). ``keep_last=N`` additionally prunes all but the newest N
+        snapshots — ONLY for replace-style sinks (templates, baselines) where
+        ``read()`` = latest and older snapshots are mere history; on an
+        append-style sink it would delete live data, so it is opt-in.
+        Returns the deleted snapshot ids; never touches the latest."""
+        import shutil
+
+        committed = self.committed_snapshots(sink)
+        if not committed:
+            return []
+        through = self._compacted_through(sink)
+        doomed = {s for s in committed if s <= through}
+        if keep_last is not None:
+            doomed.update(committed[:-keep_last] if keep_last > 0 else committed)
+        doomed.discard(committed[-1])
+        vacuumed_at = datetime.now(timezone.utc).replace(tzinfo=None)
+        rows = []
+        for s in sorted(doomed):
+            dropped = self._marker(sink, s).get("rows", 0)
+            shutil.rmtree(os.path.join(self._sink_dir(sink), f"snapshot={s}"))
+            rows.append(
+                ("vacuum", sink, s, -1, int(dropped), 0, vacuumed_at, "vacuumed")
+            )
+        if rows:
+            self.spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
+                os.path.join(self.root, "_manifest")
+            )
+        return sorted(doomed)
 
     def read(self, sink: str, snapshot: int | None = None) -> DataFrame:
         snapshot = self.latest_snapshot(sink) if snapshot is None else snapshot

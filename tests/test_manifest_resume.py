@@ -164,3 +164,52 @@ def test_job_parsed_turns_month_partitioned(spark, transcripts, tmp_path):
         if d.startswith("month=")
     ]
     assert month_dirs, "parsed_turns sink must be month-partitioned for partition-drop TTL"
+
+
+def test_compact_and_vacuum_append_sink(spark, tmp_path):
+    """OPTIMIZE/VACUUM analogs: per-epoch commits consolidate into one
+    right-sized snapshot with NO row change, the flip-over is atomic via the
+    compaction marker, later epochs stay visible, and vacuum physically
+    removes only superseded dirs."""
+    root = str(tmp_path / "wh_compact")
+    store = SnapshotStore(spark, root)
+    epochs = []
+    for e in range(3):
+        df = spark.range(e * 100, (e + 1) * 100).selectExpr(
+            "id", "id % 7 AS k"
+        ).repartition(4)
+        epochs.append(store.commit(df, "events", run_id=f"epoch_{e}"))
+    before = _collect(store.read_all("events"), ["id", "k"])
+    assert len(before) == 300
+
+    sid = store.compact("events", rows_per_file=1000)
+    # one consolidated file (300 rows < rows_per_file), same rows, no dupes
+    assert _collect(store.read_all("events"), ["id", "k"]) == before
+    snap_dir = os.path.join(root, "events", f"snapshot={sid}")
+    files = [f for f in os.listdir(snap_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert store.visible_snapshots("events") == [sid]
+
+    # a post-compaction epoch joins the view
+    df4 = spark.range(300, 350).selectExpr("id", "id % 7 AS k")
+    e4 = store.commit(df4, "events", run_id="epoch_3")
+    assert store.visible_snapshots("events") == [sid, e4]
+    assert len(_collect(store.read_all("events"), ["id", "k"])) == 350
+
+    # vacuum removes exactly the superseded epoch dirs, view unchanged
+    deleted = store.vacuum("events")
+    assert deleted == epochs
+    assert store.committed_snapshots("events") == [sid, e4]
+    assert len(_collect(store.read_all("events"), ["id", "k"])) == 350
+
+
+def test_vacuum_keep_last_replace_sink(spark, tmp_path):
+    """keep_last prunes replace-style history but never the latest."""
+    root = str(tmp_path / "wh_vac")
+    store = SnapshotStore(spark, root)
+    for e in range(4):
+        store.commit(spark.range(10 + e).toDF("id"), "templates", run_id=f"r{e}")
+    deleted = store.vacuum("templates", keep_last=2)
+    assert deleted == [0, 1]
+    assert store.committed_snapshots("templates") == [2, 3]
+    assert store.read("templates").count() == 13
