@@ -260,6 +260,29 @@ class SnapshotStore:
             os.path.join(self._sink_dir(sink), f"snapshot={snapshot}")
         )
 
+    def attach_views(self, prefix: str = "logmind") -> list[str]:
+        """Register every committed sink as a SQL temp view — the Spark
+        analog of the reference's ClickHouse SQL surface (a gateway user
+        queries tables; here ``spark.sql("SELECT ... FROM logmind_templates")``
+        works directly). Views pin the LATEST snapshot at attach time
+        (replace-style read); append-style sinks additionally get a
+        ``<prefix>_<sink>_all`` union view. Re-attach after new commits to
+        refresh. Returns the registered view names."""
+        names = []
+        for sink in sorted(os.listdir(self.root)):
+            if sink == "_manifest" or not os.path.isdir(self._sink_dir(sink)):
+                continue
+            if not self.committed_snapshots(sink):
+                continue
+            self.read(sink).createOrReplaceTempView(f"{prefix}_{sink}")
+            names.append(f"{prefix}_{sink}")
+            if len(self.visible_snapshots(sink)) > 1:
+                self.read_all(sink).createOrReplaceTempView(f"{prefix}_{sink}_all")
+                names.append(f"{prefix}_{sink}_all")
+        self.manifest().createOrReplaceTempView(f"{prefix}_manifest")
+        names.append(f"{prefix}_manifest")
+        return names
+
     def manifest(self) -> DataFrame:
         return self.spark.read.schema(MANIFEST).parquet(os.path.join(self.root, "_manifest"))
 

@@ -80,3 +80,27 @@ def test_stats_shape(parsed):
     row = query.get_stats(p).collect()[0]
     assert row.total_logs > 0
     assert 0 < row.compression_ratio < 10
+
+
+def test_sql_views_over_warehouse(spark, tmp_path):
+    """attach_views exposes committed sinks to spark.sql — the analog of the
+    reference's ClickHouse SQL surface (001_clickhouse_schema.sql tables)."""
+    from log_parser_mind_spark.plans import job
+    from log_parser_mind_spark.sources.manifest import SnapshotStore
+
+    root = str(tmp_path / "wh_sql")
+    t = synth_transcripts(spark, n_convs=30, seed=11)
+    job.run(spark, t, root=root, run_id="rsql", now="2024-01-02 00:00:00")
+    store = SnapshotStore(spark, root)
+    names = store.attach_views()
+    assert "logmind_parsed_turns" in names and "logmind_templates" in names
+    n_sql = spark.sql("SELECT count(*) AS n FROM logmind_parsed_turns").collect()[0].n
+    assert n_sql == store.read("parsed_turns").count()
+    # a join across views works like the reference's error-rate MV join
+    joined = spark.sql(
+        """SELECT t.pattern, count(*) AS n
+           FROM logmind_parsed_turns p JOIN logmind_templates t USING (template_id)
+           GROUP BY t.pattern ORDER BY n DESC LIMIT 3"""
+    ).collect()
+    assert len(joined) == 3 and joined[0].n >= joined[-1].n
+    assert spark.sql("SELECT count(*) AS n FROM logmind_manifest").collect()[0].n > 0
