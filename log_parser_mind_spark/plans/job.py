@@ -174,6 +174,55 @@ def run(
     return result
 
 
+def maintain(
+    spark: SparkSession,
+    root: str,
+    ttl_cutoff: str | None = None,
+    append_sinks: tuple[str, ...] = ("stream_parsed",),
+    keep_history: int = 3,
+) -> dict:
+    """Warehouse maintenance pass — the explicit analog of what ClickHouse
+    does in the background (TTL part drops + MergeTree part merges,
+    001_clickhouse_schema.sql:20-22):
+
+      1. TTL: drop parsed_turns month partitions before ``ttl_cutoff``
+         (partition delete, never a rewrite of survivors).
+      2. Compact each APPEND-style sink (streaming epochs) with >1 visible
+         snapshot into one right-sized snapshot, then vacuum the superseded
+         epoch dirs. Append-style is declared via ``append_sinks`` — on a
+         replace-style sink compaction would union history into duplicates,
+         so it is never inferred.
+      3. Prune replace-style sink history to the newest ``keep_history``
+         snapshots (read() = latest; older snapshots are mere history).
+
+    Idempotent; safe to run on a live warehouse (every step's commit point
+    is a single marker-file creation). Returns a per-sink report."""
+    import os
+
+    store = SnapshotStore(spark, root)
+    report: dict = {"expired": [], "compacted": {}, "vacuumed": {}}
+    sinks = [
+        d
+        for d in sorted(os.listdir(root))
+        if d != "_manifest" and os.path.isdir(os.path.join(root, d))
+    ]
+    if ttl_cutoff is not None and "parsed_turns" in sinks:
+        store.expire("parsed_turns", "ts", ttl_cutoff)
+        report["expired"].append("parsed_turns")
+    for sink in sinks:
+        if not store.committed_snapshots(sink):
+            continue
+        if sink in append_sinks:
+            if len(store.visible_snapshots(sink)) > 1:
+                report["compacted"][sink] = store.compact(sink)
+            vacuumed = store.vacuum(sink)
+        else:
+            vacuumed = store.vacuum(sink, keep_last=keep_history)
+        if vacuumed:
+            report["vacuumed"][sink] = vacuumed
+    return report
+
+
 def _committed_by_run(store: SnapshotStore, run_id: str) -> set[str]:
     try:
         m = store.manifest()

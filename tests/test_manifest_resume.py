@@ -213,3 +213,30 @@ def test_vacuum_keep_last_replace_sink(spark, tmp_path):
     assert deleted == [0, 1]
     assert store.committed_snapshots("templates") == [2, 3]
     assert store.read("templates").count() == 13
+
+
+def test_maintain_full_warehouse_pass(spark, transcripts, tmp_path):
+    """job.maintain = TTL partition drop + append-sink compaction + history
+    pruning in one idempotent pass (the ClickHouse-background analog)."""
+    root = str(tmp_path / "wh_maint")
+    store = SnapshotStore(spark, root)
+    # two batch runs -> 2-snapshot history on every replace-style sink
+    for rid in ("m1", "m2"):
+        job.run(spark, transcripts, root=root, run_id=rid, now="2024-01-02 00:00:00")
+    # a streaming-style append sink with 3 epochs
+    for e in range(3):
+        store.commit(spark.range(e * 10, e * 10 + 10).toDF("id"), "stream_parsed",
+                     run_id=f"e{e}")
+
+    live_rows = store.read("parsed_turns").count()
+    report = job.maintain(spark, root, ttl_cutoff="2020-01-01 00:00:00", keep_history=1)
+    # append sink: compacted to one visible snapshot, epochs vacuumed
+    assert "stream_parsed" in report["compacted"]
+    assert report["vacuumed"]["stream_parsed"] == [0, 1, 2]
+    assert store.read_all("stream_parsed").count() == 30
+    # replace sinks: history pruned to 1, latest intact
+    assert store.committed_snapshots("templates") == [store.latest_snapshot("templates")]
+    assert store.read("parsed_turns").count() == live_rows
+    # idempotent: second pass is a no-op apart from TTL re-check
+    report2 = job.maintain(spark, root, keep_history=1)
+    assert report2["compacted"] == {} and report2["vacuumed"] == {}

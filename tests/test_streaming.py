@@ -113,3 +113,51 @@ def test_seed_templates_pre_populate_clusters(spark):
     assert seeded.template == "task alpha finished cleanly okay <*>"
     assert seeded.template_id == t1.collect()[0].template_id
     assert not seeded.creates
+
+
+def test_stream_parsed_lifecycle_compact_vacuum(spark, staged_input, tmp_path):
+    """The streaming fact sink's full lifecycle: per-epoch snapshots union
+    into the append-table view, compaction consolidates their small files
+    into one right-sized snapshot with identical rows, and vacuum reclaims
+    the superseded epoch dirs — the ClickHouse-background-merge analog the
+    parquet emulation must provide explicitly."""
+    import os
+
+    from log_parser_mind_spark.sources.manifest import SnapshotStore
+
+    path, batch_df = staged_input
+    root = str(tmp_path / "stream_wh_compact")
+    q = st.incremental_pipeline(
+        spark, st.stream_transcripts(spark, path, max_files=2), root
+    ).start()
+    q.awaitTermination(180)
+
+    store = SnapshotStore(spark, root)
+    epochs = store.visible_snapshots("stream_parsed")
+    assert len(epochs) > 1  # multiple micro-batches committed
+    view = store.read_all("stream_parsed")
+    keys_before = sorted(
+        (r.conv_id, r.turn_idx) for r in view.select("conv_id", "turn_idx").collect()
+    )
+    assert len(keys_before) == batch_df.count()  # exactly-once, no drops
+
+    def n_files(sid):
+        d = os.path.join(root, "stream_parsed", f"snapshot={sid}")
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    files_before = sum(n_files(s) for s in epochs)
+    sid = store.compact("stream_parsed", rows_per_file=1_000_000)
+    assert store.visible_snapshots("stream_parsed") == [sid]
+    assert n_files(sid) == 1 < files_before
+    keys_after = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in store.read_all("stream_parsed").select("conv_id", "turn_idx").collect()
+    )
+    assert keys_after == keys_before
+
+    deleted = store.vacuum("stream_parsed")
+    assert deleted == epochs
+    assert sorted(
+        (r.conv_id, r.turn_idx)
+        for r in store.read_all("stream_parsed").select("conv_id", "turn_idx").collect()
+    ) == keys_before
