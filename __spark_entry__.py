@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from log_parser_mind_spark.config import PipelineConfig
 from log_parser_mind_spark.functions import masking, redaction, text as tx
 from log_parser_mind_spark.operators import aggregate as agg
-from log_parser_mind_spark.operators import dedup, similarity
+from log_parser_mind_spark.operators import dedup, embed as embed_ops, similarity
 from log_parser_mind_spark.operators.parse import parse_pipeline
 from log_parser_mind_spark.sources import multimodal
 from log_parser_mind_spark.sources.tables import documents_as_transcripts, read_table
@@ -606,6 +606,102 @@ SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
 FROM scored
 QUALIFY rank <= 3
 """
+
+
+def q_curated_corpus(spark, sf_dir):
+    """The composed training-data curation job (operators/curate.py): exact
+    dedup → LSH-verified near-dup drop (same proven params as
+    minhash_verified_dups) → quality/lang gate over once-materialized tokens.
+    The oracle recomposes every stage from its already-proven SQL fragment —
+    the whole funnel is value-checked, not just each stage in isolation."""
+    from log_parser_mind_spark.operators import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate.curate_corpus(
+        docs,
+        jaccard_threshold=0.7, minhash_k=32, minhash_bands=32, shingle_n=1,
+        min_quality=0.5,
+    )
+    return out.select("doc_id", "lang", "quality", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def _oracle_curated_corpus() -> str:
+    stop_en = ", ".join(repr(w) for w in tx.LANG_STOPWORDS["en"])
+    hit = {
+        lang: (
+            "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"t -> t IN ({', '.join(repr(w) for w in tx.LANG_STOPWORDS[lang])})))"
+        )
+        for lang in tx.LANG_ORDER
+    }
+    best = f"greatest({', '.join(hit.values())})"
+    lang_case = " ".join(
+        f"WHEN {hit[lang]} = best AND best >= 1 THEN '{lang}'" for lang in tx.LANG_ORDER
+    )
+    return f"""
+WITH exact_keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+), s1 AS (
+  SELECT d.* FROM documents d JOIN exact_keep USING (doc_id)
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), '\\s+') AS t
+  FROM s1
+), sh AS (
+  SELECT DISTINCT doc_id, s.shingle FROM toks, UNNEST(t) AS s(shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near_drop AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.7
+), s2 AS (
+  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+), scored AS (
+  SELECT doc_id, text, best,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t IN ({stop_en}))) AS stop
+  FROM (SELECT doc_id, text, {best} AS best FROM s2)
+)
+SELECT * FROM (
+  SELECT doc_id,
+         CASE {lang_case} ELSE 'unknown' END AS lang,
+         round(0.4 * least(n_tok / 64.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tok > 0 THEN stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+             + 0.3 * (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 4, 1.0)),
+             6) AS quality,
+         n_tok::BIGINT AS n_tokens
+  FROM scored
+) WHERE quality >= 0.5
+"""
+
+
+def q_embed_ann_topk(spark, sf_dir):
+    """X5 end-to-end: hashing-trick text embedding (model-free, all-JVM —
+    operators/embed.py; the reference's Ada-002 call at llm/client.go:252-268
+    stays behind the env-gated client seam) → exact cosine top-k over the
+    embedded documents. xxhash64-based, so the oracle is a locked
+    deterministic golden (same class as simhash/minhash)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_ops.hashing_embedding_table(docs, dim=64)
+    res = similarity.brute_force_topk(
+        emb.filter(F.col("doc_id") < 5), emb.filter(F.col("doc_id") >= 5),
+        k=3, id_col="doc_id",
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_search_similar(spark, sf_dir):
@@ -1325,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embed_ann_topk": q_embed_ann_topk,
+        "curated_corpus": q_curated_corpus,
         "search_similar": q_search_similar,
         "agent_analyze": q_agent_analyze,
         "agent_fix": q_agent_fix,
@@ -1400,6 +1498,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_dups": _golden_sql("simhash_hamming_dups", "id_a, id_b, hamming"),
         "minhash_candidates": _golden_sql("minhash_candidates", "id_a, id_b"),
         "multimodal_features": _golden_sql("multimodal_features", "asset_id, media_type, n_bytes"),
+        "embed_ann_topk": _golden_sql("embed_ann_topk", "query_id, neighbor_id, cosine, rank"),
+        "curated_corpus": _oracle_curated_corpus(),
         "filter_project": _ORACLE_FILTER_PROJECT,
         "text_search": _ORACLE_TEXT_SEARCH,
         "like_predicate": _ORACLE_LIKE_PREDICATE,

@@ -49,7 +49,10 @@ def norm_expr(a):
 
 
 def cosine_expr(a, b):
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # try_divide: a zero-norm vector (empty/NULL text embedded) yields NULL
+    # cosine instead of raising DIVIDE_BY_ZERO under ANSI mode — NULLs rank
+    # last under desc ordering, so zero vectors simply never place in top-k.
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def brute_force_topk(

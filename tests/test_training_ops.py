@@ -363,3 +363,102 @@ def test_new_contract_queries_match_duckdb_oracle(spark, sf_dir):
         want = con.execute(oracles[name]).df()
         assert sorted(got.columns) == sorted(want.columns), name
         assert norm_df(got) == norm_df(want), name
+
+
+def test_hashing_embedding_table(spark):
+    """X5 model-free backend: deterministic at any parallelism, unit-norm,
+    cosine-meaningful (near-dup docs ≫ unrelated), zero vector for empty."""
+    from log_parser_mind_spark.operators import embed
+    from log_parser_mind_spark.operators.similarity import cosine_expr
+
+    rows = [
+        (0, "spark shuffle join aggregate window partition"),
+        (1, "spark shuffle join aggregate window partition zq"),  # near-dup of 0
+        (2, "completely different words about cooking pasta tonight"),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = embed.hashing_embedding_table(docs.repartition(1), dim=32)
+    t8 = embed.hashing_embedding_table(docs.repartition(8), dim=32)
+    v1 = {r.doc_id: tuple(r.embedding) for r in t1.collect()}
+    v8 = {r.doc_id: tuple(r.embedding) for r in t8.collect()}
+    assert v1 == v8  # parallelism invariance (integer votes, one final divide)
+    import math
+
+    for d, v in v1.items():
+        n = math.sqrt(sum(x * x for x in v))
+        assert abs(n - 1.0) < 1e-5 or (d in (3, 4) and n == 0.0)
+    a, b = t1.alias("a"), t1.alias("b")
+    cos = {
+        (r.ia, r.ib): r.c
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .collect()
+    }
+    assert cos[(0, 1)] > 0.9 > cos[(0, 2)]  # shared tokens dominate
+    assert cos[(0, 3)] is None  # zero vector → NULL cosine, ranked last
+
+
+def test_client_embedding_stage_seam(spark):
+    """X5 learned-model seam: injectable client runs Arrow-batched and
+    order-preserving; without client/endpoint it raises, never fakes."""
+    import pytest as _pytest
+
+    from log_parser_mind_spark.operators import embed
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(10)], "doc_id long, text string"
+    )
+
+    def fake_client(texts):
+        return [[float(len(t)), 1.0] for t in texts]
+
+    out = {
+        r.doc_id: list(r.embedding)
+        for r in embed.client_embedding_stage(docs, client=fake_client, dim=2).collect()
+    }
+    assert out[3] == [float(len("text number 3")), 1.0] and len(out) == 10
+
+    with _pytest.raises(NotImplementedError):
+        embed.client_embedding_stage(docs).collect()
+
+
+def test_curate_corpus_funnel(spark, sf_dir):
+    """The composed curation job: each stage only shrinks the corpus, the
+    near-dup stage drops exactly the docs with a verified smaller-id
+    near-dup, survivors carry annotations, and the whole funnel equals the
+    DuckDB oracle recomposition (driver-grade value check)."""
+    import glob
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from log_parser_mind_spark.operators import curate
+    from log_parser_mind_spark.sources.tables import read_table
+    from tools.check_oracle import norm_df
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = curate.curate_corpus(
+        docs, jaccard_threshold=0.7, minhash_k=32, minhash_bands=32,
+        shingle_n=1, min_quality=0.5,
+    )
+    got = out.select("doc_id", "lang", "quality", F.col("n_tokens").cast("long").alias("n_tokens")).toPandas()
+    assert 0 < len(got) < docs.count()
+    assert (got["quality"] >= 0.5).all()
+
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f).removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    want = con.execute(entrymod.oracle_sql()["curated_corpus"]).df()
+    assert norm_df(got) == norm_df(want)
+
+    report = curate.curation_report(docs, out).collect()[0]
+    assert report.n_input == docs.count() and report.n_curated == len(got)
+    assert 0 < report.drop_fraction < 1

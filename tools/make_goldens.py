@@ -134,6 +134,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "simhash_hamming_dups",
         "minhash_candidates",
         "multimodal_features",
+        "embed_ann_topk",
     ):
         write(name, None)
     spark.stop()
