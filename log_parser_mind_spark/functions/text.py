@@ -20,8 +20,14 @@ BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
 
 def lower_tokens(text: Column) -> Column:
+    # NULL-safe: NULL text tokenizes to the EMPTY array, not NULL — a NULL
+    # tokens column poisons downstream scoring (size(NULL) is NULL, and
+    # least(NULL/64, 1.0) SKIPS the null, so a NULL doc scored a perfect
+    # length term of 1.0 → quality 0.7 instead of the floor 0.3).
     t = F.lower(F.trim(text))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    return F.when(t.isNull() | (t == ""), F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
 
 
 # -- tokens-column variants (the scale path) ---------------------------------

@@ -462,3 +462,27 @@ def test_curate_corpus_funnel(spark, sf_dir):
     report = curate.curation_report(docs, out).collect()[0]
     assert report.n_input == docs.count() and report.n_curated == len(got)
     assert 0 < report.drop_fraction < 1
+
+
+def test_curate_corpus_edge_rows(spark):
+    """Empty, whitespace-only, NULL, and duplicate docs flow through the
+    funnel without errors: dups collapse to min id, degenerate docs score
+    quality 0.3 (length/stopword terms zero) and fall to the gate."""
+    from log_parser_mind_spark.operators import curate
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again today"),
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, ""),
+        (3, "   "),
+        (4, None),
+        (5, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate.curate_corpus(docs, min_quality=0.35).collect()
+    ids = sorted(r.doc_id for r in out)
+    assert 1 not in ids  # exact dup of 0 dropped (min id kept)
+    assert 0 in ids
+    assert not {2, 3, 5} & set(ids)  # degenerate/short docs fail the gate
+    # NULL text: tokens empty -> quality 0.3 -> gated
+    assert 4 not in ids
