@@ -37,17 +37,28 @@ def curate_corpus(
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
     minhash_k: int = 32,
-    minhash_bands: int = 32,
-    shingle_n: int = 1,
+    minhash_bands: int = 8,
+    shingle_n: int = 3,
     min_quality: float = 0.0,
     langs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Curated corpus: input columns plus (lang, quality, n_tokens).
 
-    Defaults mirror the proven `minhash_verified_dups` contract params
-    (k=bands=32, rows_per_band=1: miss probability at s=0.7 is 0.3³² ≈ 2e-17,
-    and the LSH→verify path was shown EQUAL to the exhaustive oracle on the
-    test corpora) — so the whole composition stays oracle-checkable."""
+    Two LSH regimes, and the difference is THE scale decision:
+
+      SCALE (the defaults — k=32, bands=8, rows_per_band=4, 3-shingles):
+        band collision probability is the standard S-curve 1-(1-s⁴)⁸ — at
+        s=0.3 only 0.6% of dissimilar pairs become candidates, so the
+        candidate set tracks true near-dup density. This is the only shape
+        that survives a saturated large corpus.
+      PROVABLE (k=bands=32, rows_per_band=1, unigrams — what the
+        `curated_corpus` contract query passes): per-band collision
+        probability equals the raw similarity itself, so the miss probability
+        at s=0.7 is 0.3³² ≈ 2e-17 and LSH→verify is provably EQUAL to the
+        exhaustive oracle — but every weakly-similar pair floods the
+        candidate set (1-(1-0.3)³² ≈ 1 at s=0.3), which measured effectively
+        all-pairs on a 16×-replicated 80k-doc notch. Correctness
+        configuration for oracle checks at small SF; never the 100 TB one."""
     exact_keep = dedup.exact_dedup(docs, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
