@@ -115,8 +115,10 @@ def quality_score_expr(text: Column) -> Column:
 
 def _trim_ws(c: Column) -> Column:
     """strings.TrimSpace analog — F.trim only removes ASCII spaces, but Go
-    trims all whitespace (the fence strip leaves a leading/trailing \\n)."""
-    return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
+    trims all unicode.IsSpace runes (NBSP, U+0085, …). Java's \\s is
+    ASCII-only without the (?U) flag, so a model response led by a
+    non-breaking space would keep its fence un-stripped."""
+    return F.regexp_replace(F.regexp_replace(c, r"(?U)^\s+", ""), r"(?U)\s+$", "")
 
 
 def strip_code_fences_expr(text: Column) -> Column:

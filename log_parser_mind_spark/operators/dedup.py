@@ -193,8 +193,10 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     integer sums are order-independent, so the fingerprint is identical at any
     parallelism. Docs with no tokens get simhash 0 (all votes empty)."""
     toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"), lambda t: t != "")
+    # id keeps its source type: casting to long would NULL every string id
+    # (e.g. conv ids) and silently return zero pairs downstream.
     exploded = docs.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         F.explode_outer(toks).alias("tok"),
     ).select("id", F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"))
     one = F.lit(1).cast("long")

@@ -117,7 +117,9 @@ def client_embedding_stage(
 
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            # id keeps the input column's type — hardcoding LongType would
+            # break string ids at the Arrow boundary.
+            T.StructField("id", docs.schema[id_col].dataType),
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     )

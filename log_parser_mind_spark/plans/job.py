@@ -120,15 +120,22 @@ def run(
     config: PipelineConfig | None = None,
     now: str | None = None,
     resume: bool = True,
+    namespace: str | None = None,
 ) -> JobResult:
     """Execute the job. With ``root`` set, each sink is committed as a
     snapshot; on re-run with the same run_id, sinks already committed by that
-    run are skipped (resume-from-checkpoint, north rule)."""
+    run are skipped (resume-from-checkpoint, north rule). ``namespace``
+    selects the Iceberg catalog backend when its runtime is present."""
     config = config or PipelineConfig()
     if root is None:
         return JobResult(sinks=build_sinks(spark, transcripts, config, now))
 
-    store = SnapshotStore(spark, root)
+    # Backend dispatch: a configured Iceberg namespace + runtime selects the
+    # real catalog path; in-sandbox this always resolves to the
+    # parquet+manifest emulation (sources/iceberg.snapshot_store).
+    from ..sources.iceberg import snapshot_store
+
+    store = snapshot_store(spark, root, namespace=namespace)
     result = JobResult(sinks={})
     done = _committed_by_run(store, run_id) if resume else set()
 
@@ -187,16 +194,22 @@ def maintain(
 
       1. TTL: drop parsed_turns month partitions before ``ttl_cutoff``
          (partition delete, never a rewrite of survivors).
-      2. Compact each APPEND-style sink (streaming epochs) with >1 visible
-         snapshot into one right-sized snapshot, then vacuum the superseded
-         epoch dirs. Append-style is declared via ``append_sinks`` — on a
-         replace-style sink compaction would union history into duplicates,
-         so it is never inferred.
-      3. Prune replace-style sink history to the newest ``keep_history``
-         snapshots (read() = latest; older snapshots are mere history).
+      2. INCREMENTALLY compact each APPEND-style sink: only the raw
+         post-compaction epochs (≥2 of them) consolidate into a new
+         snapshot; the previous consolidated snapshot is left untouched, so
+         each cycle costs O(new data), never O(table). Append-style is
+         declared via ``append_sinks`` — on a replace-style sink compaction
+         would union history into duplicates, so it is never inferred.
+      3. Vacuum superseded epoch dirs; prune replace-style sink history to
+         the newest ``keep_history`` snapshots (read() = latest; older
+         snapshots are mere history).
 
-    Idempotent; safe to run on a live warehouse (every step's commit point
-    is a single marker-file creation). Returns a per-sink report."""
+    Idempotent, and safe alongside a live streaming writer: snapshot ids are
+    mkdir-reserved (no overwrite race) and an epoch committed mid-compaction
+    stays visible because compaction supersedes only its listed sources.
+    Maintenance runs on the parquet emulation (an Iceberg deployment gets
+    rewrite_data_files/expire_snapshots from the catalog instead). Returns a
+    per-sink report."""
     import os
 
     store = SnapshotStore(spark, root)
@@ -206,15 +219,20 @@ def maintain(
         for d in sorted(os.listdir(root))
         if d != "_manifest" and os.path.isdir(os.path.join(root, d))
     ]
-    if ttl_cutoff is not None and "parsed_turns" in sinks:
+    if ttl_cutoff is not None and store.committed_snapshots("parsed_turns"):
         store.expire("parsed_turns", "ts", ttl_cutoff)
         report["expired"].append("parsed_turns")
     for sink in sinks:
         if not store.committed_snapshots(sink):
             continue
         if sink in append_sinks:
-            if len(store.visible_snapshots(sink)) > 1:
-                report["compacted"][sink] = store.compact(sink)
+            raw_epochs = [
+                s
+                for s in store.visible_snapshots(sink)
+                if "compacted_from" not in store._marker(sink, s)
+            ]
+            if len(raw_epochs) > 1:
+                report["compacted"][sink] = store.compact(sink, sources=raw_epochs)
             vacuumed = store.vacuum(sink)
         else:
             vacuumed = store.vacuum(sink, keep_last=keep_history)

@@ -80,7 +80,19 @@ class SnapshotStore:
         if snapshot is None:
             latest = self.latest_snapshot(sink)
             snapshot = 0 if latest is None else latest + 1
-        path = os.path.join(self._sink_dir(sink), f"snapshot={snapshot}")
+            # Reserve the id with an atomic mkdir: two concurrent committers
+            # (a live streaming epoch + a maintenance compact) that both read
+            # the same latest get DIFFERENT snapshot ids instead of the later
+            # writer overwriting the earlier one's committed dir.
+            while True:
+                path = os.path.join(self._sink_dir(sink), f"snapshot={snapshot}")
+                try:
+                    os.makedirs(path)
+                    break
+                except FileExistsError:
+                    snapshot += 1
+        else:
+            path = os.path.join(self._sink_dir(sink), f"snapshot={snapshot}")
 
         out = df
         if sort_within_partitions:
@@ -150,30 +162,29 @@ class SnapshotStore:
         ) as fh:
             return json.load(fh)
 
-    def _compacted_through(self, sink: str) -> int:
-        """Highest snapshot id covered by any compaction — snapshots ≤ this
-        are superseded (their rows live in the compaction snapshot)."""
-        return max(
-            (
-                self._marker(sink, s).get("compacted_through", -1)
-                for s in self.committed_snapshots(sink)
-            ),
-            default=-1,
-        )
+    def _superseded(self, sink: str) -> set[int]:
+        """Snapshot ids consumed by some compaction — their rows live in the
+        compaction snapshot that lists them in its ``compacted_from``."""
+        sup: set[int] = set()
+        for s in self.committed_snapshots(sink):
+            sup.update(self._marker(sink, s).get("compacted_from", []))
+        return sup
 
     def visible_snapshots(self, sink: str) -> list[int]:
-        """The append-table view: committed snapshots not superseded by a
-        compaction. A compaction snapshot itself is visible (its id is above
-        its own ``compacted_through``), as is every epoch after it."""
-        through = self._compacted_through(sink)
-        return [s for s in self.committed_snapshots(sink) if s > through]
+        """The append-table view: committed snapshots not consumed by a
+        compaction. Set-based (``compacted_from`` lists), not a threshold —
+        so an INCREMENTAL compaction of just the newest epochs supersedes
+        only those epochs and leaves the prior consolidated snapshot
+        visible."""
+        sup = self._superseded(sink)
+        return [s for s in self.committed_snapshots(sink) if s not in sup]
 
-    def read_all(self, sink: str) -> DataFrame:
+    def read_all(self, sink: str, snapshots: list[int] | None = None) -> DataFrame:
         """Read the APPEND-table view of a sink: the union of every visible
         snapshot (streaming epochs each commit one snapshot — the table is
         their union, unlike replace-style sinks where read() = latest). One
         multi-path scan node, not a driver loop of unions."""
-        snaps = self.visible_snapshots(sink)
+        snaps = self.visible_snapshots(sink) if snapshots is None else snapshots
         if not snaps:
             raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")
         d = self._sink_dir(sink)
@@ -185,30 +196,38 @@ class SnapshotStore:
         rows_per_file: int = 1_000_000,
         sort_within_partitions: list[str] | None = None,
         partition_by: list[str] | None = None,
+        sources: list[int] | None = None,
     ) -> int:
-        """OPTIMIZE analog for append-style sinks: consolidate every visible
-        snapshot (e.g. hundreds of per-epoch streaming commits, each a pile of
-        small files) into ONE right-sized snapshot. The reference gets this
-        for free from ClickHouse background merges (MergeTree parts); the
-        parquet emulation needs it explicitly or small files accumulate
+        """OPTIMIZE analog for append-style sinks: consolidate visible
+        snapshots (e.g. hundreds of per-epoch streaming commits, each a pile
+        of small files) into ONE right-sized snapshot. The reference gets
+        this for free from ClickHouse background merges (MergeTree parts);
+        the parquet emulation needs it explicitly or small files accumulate
         without bound.
 
-        Atomicity: the consolidated snapshot's commit marker carries
-        ``compacted_through`` = the highest source snapshot id; creating that
-        marker is the single commit point that flips ``read_all`` over to the
-        consolidated view. A crash before it leaves the old view fully
-        intact; the source dirs are only physically deleted later by
-        ``vacuum``. Shuffle-free: file count is set with coalesce (balance
-        comes from the many source files), unless ``partition_by`` re-layout
-        is requested."""
-        sources = self.visible_snapshots(sink)
+        ``sources`` restricts the pass (incremental compaction): pass just
+        the raw post-compaction epochs and the previous consolidated snapshot
+        is left untouched — each maintenance cycle then costs O(new data),
+        not O(table). Default = all visible snapshots (full compaction).
+
+        Atomicity: the consolidated snapshot's commit marker lists its
+        ``compacted_from`` sources; creating that marker is the single commit
+        point that flips ``read_all`` over. A crash before it leaves the old
+        view fully intact; the source dirs are only physically deleted later
+        by ``vacuum``. A concurrent epoch commit is safe: snapshot ids are
+        mkdir-reserved (no overwrite race) and an epoch not in
+        ``compacted_from`` stays visible. Shuffle-free: file count is set
+        with coalesce (balance comes from the many source files), unless
+        ``partition_by`` re-layout is requested."""
+        if sources is None:
+            sources = self.visible_snapshots(sink)
         if not sources:
             raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")
         total_rows = sum(
             self._marker(sink, s).get("rows", 0) for s in sources
         )
         n_files = max(1, -(-total_rows // rows_per_file))
-        df = self.read_all(sink)
+        df = self.read_all(sink, snapshots=sources)
         if not partition_by:
             df = df.coalesce(n_files)
         return self.commit(
@@ -222,19 +241,19 @@ class SnapshotStore:
 
     def vacuum(self, sink: str, keep_last: int | None = None) -> list[int]:
         """Physically delete superseded snapshot dirs. Always safe for
-        snapshots ≤ ``compacted_through`` (their rows live in the compaction
-        snapshot). ``keep_last=N`` additionally prunes all but the newest N
-        snapshots — ONLY for replace-style sinks (templates, baselines) where
-        ``read()`` = latest and older snapshots are mere history; on an
-        append-style sink it would delete live data, so it is opt-in.
-        Returns the deleted snapshot ids; never touches the latest."""
+        snapshots some compaction lists in ``compacted_from`` (their rows
+        live in the compaction snapshot). ``keep_last=N`` additionally prunes
+        all but the newest N snapshots — ONLY for replace-style sinks
+        (templates, baselines) where ``read()`` = latest and older snapshots
+        are mere history; on an append-style sink it would delete live data,
+        so it is opt-in. Returns the deleted snapshot ids; never touches the
+        latest."""
         import shutil
 
         committed = self.committed_snapshots(sink)
         if not committed:
             return []
-        through = self._compacted_through(sink)
-        doomed = {s for s in committed if s <= through}
+        doomed = set(self._superseded(sink)) & set(committed)
         if keep_last is not None:
             doomed.update(committed[:-keep_last] if keep_last > 0 else committed)
         doomed.discard(committed[-1])
@@ -260,14 +279,19 @@ class SnapshotStore:
             os.path.join(self._sink_dir(sink), f"snapshot={snapshot}")
         )
 
-    def attach_views(self, prefix: str = "logmind") -> list[str]:
+    def attach_views(
+        self, prefix: str = "logmind", append_sinks: tuple[str, ...] = ("stream_parsed",)
+    ) -> list[str]:
         """Register every committed sink as a SQL temp view — the Spark
         analog of the reference's ClickHouse SQL surface (a gateway user
         queries tables; here ``spark.sql("SELECT ... FROM logmind_templates")``
         works directly). Views pin the LATEST snapshot at attach time
-        (replace-style read); append-style sinks additionally get a
-        ``<prefix>_<sink>_all`` union view. Re-attach after new commits to
-        refresh. Returns the registered view names."""
+        (replace-style read); sinks DECLARED append-style get a
+        ``<prefix>_<sink>_all`` union view instead of the latest-only one.
+        Append-ness is declared, never inferred from snapshot count — a
+        replace-style sink with history would otherwise get a union view
+        that duplicates every row once per historical snapshot. Re-attach
+        after new commits to refresh. Returns the registered view names."""
         names = []
         for sink in sorted(os.listdir(self.root)):
             if sink == "_manifest" or not os.path.isdir(self._sink_dir(sink)):
@@ -276,7 +300,7 @@ class SnapshotStore:
                 continue
             self.read(sink).createOrReplaceTempView(f"{prefix}_{sink}")
             names.append(f"{prefix}_{sink}")
-            if len(self.visible_snapshots(sink)) > 1:
+            if sink in append_sinks:
                 self.read_all(sink).createOrReplaceTempView(f"{prefix}_{sink}_all")
                 names.append(f"{prefix}_{sink}_all")
         self.manifest().createOrReplaceTempView(f"{prefix}_manifest")
@@ -317,10 +341,17 @@ class SnapshotStore:
         import shutil
 
         cutoff_month = older_than[:7]  # 'yyyy-MM' — lexicographic == chronological
+        # Capture the schema BEFORE dropping: if every month expires, the
+        # snapshot would be left with no parquet files and read() would fail
+        # with UNABLE_TO_INFER_SCHEMA — ClickHouse TTL leaves an
+        # empty-but-queryable table, so must we.
+        schema = self.read(sink).schema
         expired_at = datetime.now(timezone.utc).replace(tzinfo=None)
         rows = []
+        survivors = []
         for d in months:
             if d.split("=", 1)[1] >= cutoff_month:
+                survivors.append(d)
                 continue
             dropped = sum(n for _, n in self._footer_counts(os.path.join(path, d)))
             shutil.rmtree(os.path.join(path, d))
@@ -330,5 +361,12 @@ class SnapshotStore:
         if rows:
             self.spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
                 os.path.join(self.root, "_manifest")
+            )
+        if not survivors:
+            # Everything aged out: commit an empty (unpartitioned) snapshot
+            # so the sink stays readable; a later expire on it takes the
+            # filter-rewrite branch over zero rows, which is free.
+            return self.commit(
+                self.spark.createDataFrame([], schema), sink, run_id=f"ttl_{older_than}"
             )
         return snapshot

@@ -109,3 +109,17 @@ def test_variables_and_map_size_exprs(spark):
     assert row.v == {"var_0": "/api/users", "var_1": "200"}
     # Σ len(k)+len(v) = (5+10) + (5+3) = 23   (cmd/compression/main.go:85-91)
     assert row.sz == 23
+
+
+def test_strip_fences_unicode_leading_whitespace(spark):
+    """Go TrimSpace trims unicode.IsSpace runes (NBSP, U+0085) — a model
+    response led by NBSP must still have its fence stripped."""
+    from pyspark.sql import functions as F
+
+    from log_parser_mind_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [("\u00a0```json\n{\"k\": 1}\n```",), ("```json\n{}\n```",)], "s string"
+    )
+    got = [r.out for r in df.select(tx.strip_code_fences_expr(F.col("s")).alias("out")).collect()]
+    assert got == ['{"k": 1}', "{}"]

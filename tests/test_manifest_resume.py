@@ -240,3 +240,79 @@ def test_maintain_full_warehouse_pass(spark, transcripts, tmp_path):
     # idempotent: second pass is a no-op apart from TTL re-check
     report2 = job.maintain(spark, root, keep_history=1)
     assert report2["compacted"] == {} and report2["vacuumed"] == {}
+
+
+def test_commit_reserves_snapshot_ids(spark, tmp_path):
+    """A dir already claimed (concurrent committer mid-write) is never
+    overwritten: the next commit mkdir-reserves the next free id."""
+    root = str(tmp_path / "wh_reserve")
+    store = SnapshotStore(spark, root)
+    store.commit(spark.range(5).toDF("id"), "s", run_id="a")      # snapshot 0
+    os.makedirs(os.path.join(root, "s", "snapshot=1"))             # in-flight writer
+    sid = store.commit(spark.range(7).toDF("id"), "s", run_id="b")
+    assert sid == 2
+    assert store.read("s", 2).count() == 7
+    assert os.listdir(os.path.join(root, "s", "snapshot=1")) == []  # untouched
+
+
+def test_incremental_compaction_leaves_prior_consolidation_untouched(spark, tmp_path):
+    """maintain compacts ONLY raw post-compaction epochs — O(new data) per
+    cycle, and the prior consolidated snapshot stays visible + on disk."""
+    root = str(tmp_path / "wh_inc")
+    store = SnapshotStore(spark, root)
+    for e in range(3):
+        store.commit(spark.range(e * 10, e * 10 + 10).toDF("id"), "stream_parsed",
+                     run_id=f"e{e}")
+    r1 = job.maintain(spark, root)
+    c1 = r1["compacted"]["stream_parsed"]
+    c1_files = sorted(os.listdir(os.path.join(root, "stream_parsed", f"snapshot={c1}")))
+    # two new epochs arrive
+    for e in (3, 4):
+        store.commit(spark.range(e * 10, e * 10 + 10).toDF("id"), "stream_parsed",
+                     run_id=f"e{e}")
+    r2 = job.maintain(spark, root)
+    c2 = r2["compacted"]["stream_parsed"]
+    assert c2 != c1
+    # prior consolidation untouched and still visible alongside the new one
+    assert sorted(os.listdir(os.path.join(root, "stream_parsed", f"snapshot={c1}"))) == c1_files
+    assert store.visible_snapshots("stream_parsed") == [c1, c2]
+    assert store.read_all("stream_parsed").count() == 50
+    # third pass: one raw epoch only -> no recompaction of anything
+    store.commit(spark.range(50, 60).toDF("id"), "stream_parsed", run_id="e5")
+    r3 = job.maintain(spark, root)
+    assert "stream_parsed" not in r3["compacted"]
+    assert store.read_all("stream_parsed").count() == 60
+
+
+def test_attach_views_no_union_for_replace_history(spark, tmp_path):
+    """A replace-style sink with history must NOT get a duplicating _all
+    view — append-ness is declared, never inferred from snapshot count."""
+    root = str(tmp_path / "wh_views2")
+    store = SnapshotStore(spark, root)
+    for rid in range(2):
+        store.commit(spark.range(10).toDF("id"), "templates", run_id=f"r{rid}")
+        store.commit(spark.range(5).toDF("id"), "stream_parsed", run_id=f"r{rid}")
+    names = store.attach_views()
+    assert "logmind_templates_all" not in names
+    assert "logmind_stream_parsed_all" in names
+    assert spark.sql("SELECT count(*) AS n FROM logmind_templates").collect()[0].n == 10
+    assert spark.sql("SELECT count(*) AS n FROM logmind_stream_parsed_all").collect()[0].n == 10
+
+
+def test_expire_all_months_leaves_readable_empty_sink(spark, tmp_path):
+    """ClickHouse TTL leaves an empty-but-queryable table; so must expire()
+    when every month partition ages out."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh_ttl_all")
+    store = SnapshotStore(spark, root)
+    df = spark.range(20).select(
+        F.col("id"),
+        F.to_timestamp(F.lit("2020-03-01 00:00:00")).alias("ts"),
+        F.lit("2020-03").alias("month"),
+    )
+    store.commit(df, "parsed_turns", run_id="r", partition_by=["month"])
+    store.expire("parsed_turns", "ts", "2024-01-01 00:00:00")
+    out = store.read("parsed_turns")
+    assert out.count() == 0
+    assert "ts" in out.columns  # schema preserved, sink queryable

@@ -486,3 +486,24 @@ def test_curate_corpus_edge_rows(spark):
     assert not {2, 3, 5} & set(ids)  # degenerate/short docs fail the gate
     # NULL text: tokens empty -> quality 0.3 -> gated
     assert 4 not in ids
+
+
+def test_simhash_and_embed_accept_string_ids(spark):
+    """String doc ids (conv-style) must not be silently nulled: simhash pairs
+    and the embedding client stage both keep the source id type."""
+    from log_parser_mind_spark.operators import dedup as dd
+    from log_parser_mind_spark.operators import embed
+
+    rows = [
+        ("conv-a", "alpha beta gamma delta epsilon zeta"),
+        ("conv-b", "alpha beta gamma delta epsilon zeta"),
+        ("conv-c", "totally different words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dd.simhash_near_dup_pairs(docs, k=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [("conv-a", "conv-b")]
+
+    out = embed.client_embedding_stage(
+        docs, client=lambda ts: [[1.0, 2.0]] * len(ts), dim=2
+    ).collect()
+    assert sorted(r.doc_id for r in out) == ["conv-a", "conv-b", "conv-c"]
