@@ -549,12 +549,14 @@ def _bucket_sql(vec: str, n_planes: int) -> str:
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup: hyperplane LSH bucket → exact in-bucket
-    cosine verify (the Σ bucket² scale path, never all-pairs). The oracle
-    replicates the bucketing itself (same plane literals), so the check
-    covers the LSH partitioning AND the verify, not just the final filter."""
+    """Embedding-cosine near-dup: hyperplane LSH with the OR-construction
+    (2 banded 3-plane slices — single full-width buckets have collapsing
+    recall at scale, see dedup.embedding_near_dups) → exact in-band cosine
+    verify. The oracle replicates the banding itself (same plane literals,
+    same bit slices), so the check covers the LSH partitioning AND the
+    verify, not just the final filter."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_near_dups(emb, threshold=0.3, n_planes=6, dim=64)
+    pairs = dedup.embedding_near_dups(emb, threshold=0.3, n_planes=6, dim=64, bands=2)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -565,10 +567,17 @@ def _oracle_embedding_near_dups() -> str:
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {_bucket_sql('v', 6)} AS bucket FROM e)
-SELECT a.vec_id AS id_a, c.vec_id AS id_b, round({cos}, 6) AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE {cos} >= 0.3
+b AS (SELECT vec_id, v, {_bucket_sql('v', 6)} AS bucket FROM e),
+bb AS (SELECT vec_id, v, bucket & 7 AS b0, (bucket >> 3) & 7 AS b1 FROM b),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
+  FROM bb a JOIN bb c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
+  FROM bb a JOIN bb c ON a.b1 = c.b1 AND a.vec_id < c.vec_id
+)
+SELECT DISTINCT id_a, id_b, round(cos, 6) AS cosine
+FROM pairs WHERE cos >= 0.3
 """
 
 

@@ -19,6 +19,16 @@ LANG_ORDER = ["en", "es", "fr", "de"]  # deterministic tiebreak precedence
 BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
 
+def ws_tokens_expr(text: Column) -> Column:
+    """NULL-safe lowercase whitespace tokenizer shared by the scale-path
+    fingerprint ops (dedup.simhash_table, embed.hashing_embedding_table):
+    NULL → empty array, empty tokens dropped. ONE definition so the simhash
+    and embedding passes over the same corpus can never drift apart."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+"), lambda t: t != ""
+    )
+
+
 def lower_tokens(text: Column) -> Column:
     # NULL-safe: NULL text tokenizes to the EMPTY array, not NULL — a NULL
     # tokens column poisons downstream scoring (size(NULL) is NULL, and

@@ -380,11 +380,16 @@ def make_concurrent_client(
 
     def run(prompts: list[str]) -> list[str]:
         if len(prompts) <= chunk_size:
-            return client(prompts)
-        chunks = [prompts[i : i + chunk_size] for i in range(0, len(prompts), chunk_size)]
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            results = list(ex.map(client, chunks))
-        out = [r for chunk in results for r in chunk]
+            out = client(prompts)
+        else:
+            chunks = [
+                prompts[i : i + chunk_size] for i in range(0, len(prompts), chunk_size)
+            ]
+            with ThreadPoolExecutor(max_workers=max_workers) as ex:
+                results = list(ex.map(client, chunks))
+            out = [r for chunk in results for r in chunk]
+        # Validate on EVERY path: a lossy client must fail here, where the
+        # prompt→response misalignment is detectable, not downstream.
         if len(out) != len(prompts):
             raise ValueError(f"client returned {len(out)} responses for {len(prompts)} prompts")
         return out

@@ -62,7 +62,13 @@ def curate_corpus(
     exact_keep = dedup.exact_dedup(docs, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    survivors = docs.join(exact_keep, id_col, "left_semi")
+    # The exact-dedup survivors feed THREE consumers (minhash candidates,
+    # jaccard verify, quality stage) — persist, or one action re-scans the
+    # source and re-runs the dedup aggregation three times. The production
+    # analog at 100 TB is committing a snapshot between stages
+    # (plans/job.run's write-then-aggregate lesson); persist is the
+    # in-memory equivalent for the composed one-shot form.
+    survivors = docs.join(exact_keep, id_col, "left_semi").persist()
 
     cand = dedup.minhash_lsh_candidates(
         survivors, id_col, text_col, k=minhash_k, bands=minhash_bands, shingle_n=shingle_n

@@ -192,7 +192,9 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     token. Deterministic: xxhash64 is a pure function of the token bytes, and
     integer sums are order-independent, so the fingerprint is identical at any
     parallelism. Docs with no tokens get simhash 0 (all votes empty)."""
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"), lambda t: t != "")
+    from ..functions.text import ws_tokens_expr
+
+    toks = ws_tokens_expr(F.col(text_col))
     # id keeps its source type: casting to long would NULL every string id
     # (e.g. conv ids) and silently return zero pairs downstream.
     exploded = docs.select(
@@ -293,15 +295,27 @@ def embedding_near_dups(
     seed: int = 42,
     dim: int | None = None,
     corpus_count: int | None = None,
+    bands: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH hyperplane bucket (similarity.py) →
     exact cosine verify within buckets only. Pass ``dim`` in pipelines to
     avoid the driver-side schema-probe job.
 
-    The in-bucket verify costs Σ bucket² ≈ N²/2^planes, so a FIXED plane
-    count goes quadratic as the corpus grows — pass ``n_planes=None`` with a
-    ``corpus_count`` hint to derive planes ≈ log2(N/target_bucket_size)
-    (similarity.planes_for_corpus)."""
+    RECALL is governed by the AND/OR construction, not just cost: a pair at
+    cosine s agrees with one hyperplane with p = 1 − arccos(s)/π, so a
+    single full-width bucket (``bands=1``) collides with probability
+    p^planes — at 20 planes even a 0.95-cosine pair is found only ~12% of
+    the time. ``bands`` > 1 splits the planes into OR'd slices (width w =
+    planes/bands): collision = 1 − (1−p^w)^bands, e.g. 0.88 instead of 0.43
+    at 8 planes / 2 bands for a 0.95-cosine pair. Banding multiplies join
+    cost by ≤ bands (Σ bucket² per band over wider buckets) — the standard
+    recall/cost dial.
+
+    COST: the in-bucket verify is Σ bucket² ≈ N²/2^w per band, so a FIXED
+    plane count goes quadratic as the corpus grows — pass ``n_planes=None``
+    with a ``corpus_count`` hint to derive planes ≈ log2(N/target_bucket_size)
+    (similarity.planes_for_corpus), and scale ``bands`` with it to keep the
+    per-band width (and thus recall) roughly constant."""
     from .similarity import cosine_expr, hyperplane_bucket
 
     b = hyperplane_bucket(
@@ -313,9 +327,39 @@ def embedding_near_dups(
         seed=seed,
         corpus_count=corpus_count,
     )
+    if bands > 1:
+        n_planes_eff = n_planes
+        if n_planes_eff is None:
+            from .similarity import planes_for_corpus
+
+            n_planes_eff = planes_for_corpus(corpus_count)
+        if n_planes_eff % bands != 0:
+            raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes_eff})")
+        width = n_planes_eff // bands
+        mask = F.lit((1 << width) - 1).cast("long")
+        b = b.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftrightunsigned("bucket", i * width)
+                            .bitwiseAND(mask)
+                            .alias("band_val"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_col, vec_col, "band.band_idx", "band.band_val")
+        join_keys = ["band_idx", "band_val"]
+    else:
+        join_keys = ["bucket"]
     a, c = b.alias("a"), b.alias("b")
     pairs = (
-        a.join(c, "bucket")
+        a.join(c, join_keys)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -323,4 +367,6 @@ def embedding_near_dups(
             cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
         )
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    out = pairs.filter(F.col("cosine") >= threshold)
+    # a pair sharing several bands matches once per band — dedup after verify
+    return out.distinct() if bands > 1 else out

@@ -29,11 +29,12 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 
 def _tokens(text_col: Column) -> Column:
-    # Same normalization as dedup.simhash_table: lowercase, whitespace split,
-    # empties dropped; NULL text behaves like empty (zero vector).
-    return F.filter(
-        F.split(F.lower(F.coalesce(text_col, F.lit(""))), r"\s+"), lambda t: t != ""
-    )
+    # THE shared scale-path tokenizer (functions/text.ws_tokens_expr) — the
+    # same definition simhash_table uses, so the two fingerprint passes over
+    # one corpus can never drift apart.
+    from ..functions.text import ws_tokens_expr
+
+    return ws_tokens_expr(text_col)
 
 
 def hashing_embedding_table(
@@ -126,7 +127,16 @@ def client_embedding_stage(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            vecs = client(pdf[text_col].fillna("").tolist())
+            texts = pdf[text_col].fillna("").tolist()
+            vecs = client(texts)
+            # Validate count AND width here, where misalignment is still
+            # attributable — a lossy or wrong-dim client downstream just
+            # yields silently-truncated dot products.
+            if len(vecs) != len(texts):
+                raise ValueError(f"client returned {len(vecs)} vectors for {len(texts)} texts")
+            bad = [len(v) for v in vecs if len(v) != dim]
+            if bad:
+                raise ValueError(f"client returned vectors of widths {set(bad)}, expected {dim}")
             yield pd.DataFrame({"id": pdf[id_col], "embedding": vecs})
 
     return (

@@ -136,6 +136,14 @@ def run(
     from ..sources.iceberg import snapshot_store
 
     store = snapshot_store(spark, root, namespace=namespace)
+    if resume and not hasattr(store, "manifest"):
+        # The Iceberg backend has no lineage-manifest resume yet; silently
+        # proceeding would re-append every already-committed sink (duplicate
+        # rows) on a re-run. Fail loud instead of corrupting the tables.
+        raise NotImplementedError(
+            "resume is not implemented for the Iceberg backend — re-run with "
+            "resume=False against fresh tables, or use the parquet store"
+        )
     result = JobResult(sinks={})
     done = _committed_by_run(store, run_id) if resume else set()
 

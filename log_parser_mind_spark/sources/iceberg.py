@@ -48,6 +48,15 @@ def expire_months_sql(table: str, cutoff_month: str, month_col: str = "month") -
     return f"DELETE FROM {table} WHERE {month_col} < '{cutoff_month}'"
 
 
+def expire_ts_sql(table: str, ts_col: str, older_than: str) -> str:
+    """TTL as a timestamp-predicate DELETE — works on ANY sink regardless of
+    partitioning (SnapshotStore.expire's fallback parity): Iceberg still
+    drops whole data files by metadata where the predicate aligns with a
+    month(ts) partition transform, and rewrites only the boundary files
+    otherwise."""
+    return f"DELETE FROM {table} WHERE {ts_col} < TIMESTAMP '{older_than}'"
+
+
 class IcebergStore:
     """Same commit/read/expire surface as manifest.SnapshotStore, over a real
     Iceberg catalog namespace instead of snapshot= directories."""
@@ -102,7 +111,10 @@ class IcebergStore:
         self.spark.sql(merge_upsert_sql(self._table(sink), view, ["template_id"], cols))
 
     def expire(self, sink: str, ts_col: str, older_than: str) -> None:
-        self.spark.sql(expire_months_sql(self._table(sink), older_than[:7]))
+        # Predicate on the CALLER'S ts column, not a hardcoded month column
+        # only parsed_turns has — any sink expires correctly, matching
+        # SnapshotStore.expire's unpartitioned fallback behavior.
+        self.spark.sql(expire_ts_sql(self._table(sink), ts_col, older_than))
 
 
 def snapshot_store(spark: SparkSession, root: str, namespace: str | None = None):

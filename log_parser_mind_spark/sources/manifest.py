@@ -77,7 +77,14 @@ class SnapshotStore:
         ORDER BY (source, template_id, timestamp) (001_clickhouse_schema.sql:21)
         → parquet min/max page stats give the same data-skipping effect.
         """
-        if snapshot is None:
+        # Exactly-once per (sink, run_id): a replayed micro-batch or retried
+        # job whose commit already landed must NOT append a second visible
+        # snapshot (read_all would double-count every replayed row).
+        for s in self.committed_snapshots(sink):
+            if self._marker(sink, s).get("run_id") == run_id:
+                return s
+        reserved = snapshot is None
+        if reserved:
             latest = self.latest_snapshot(sink)
             snapshot = 0 if latest is None else latest + 1
             # Reserve the id with an atomic mkdir: two concurrent committers
@@ -97,7 +104,12 @@ class SnapshotStore:
         out = df
         if sort_within_partitions:
             out = out.sortWithinPartitions(*sort_within_partitions)
-        writer = out.write.mode("overwrite")
+        # Into a freshly-RESERVED (empty) dir the mode must be append:
+        # overwrite DELETES the target dir before writing, which would
+        # destroy the reservation and reopen the concurrent-id race for the
+        # duration of the write. A failed write leaves a marker-less dir the
+        # reservation loop skips, so append never sees pre-existing rows.
+        writer = out.write.mode("append" if reserved else "overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
@@ -124,10 +136,41 @@ class SnapshotStore:
             (run_id, sink, snapshot, int(pid), None, int(n), committed_at, "committed")
             for pid, n in counts
         ] + [(run_id, sink, snapshot, -1, None, int(total), committed_at, "committed")]
-        self.spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
-            os.path.join(self.root, "_manifest")
-        )
+        self._write_manifest_rows(rows)
         return snapshot
+
+    def _write_manifest_rows(self, rows: list[tuple]) -> None:
+        """Append lineage rows as ONE uniquely-named parquet file via pyarrow
+        on the driver. A Spark append job here would be wrong twice over:
+        concurrent committers share the _manifest/_temporary staging dir (one
+        job's commit deletes the other's pending task files), and a 32-task
+        job for a handful of rows is pure overhead. The uuid filename makes
+        concurrent driver-side writes trivially safe."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("run_id", pa.string()),
+                ("stage", pa.string()),
+                ("snapshot", pa.int32()),
+                ("partition_id", pa.int32()),
+                ("rows_in", pa.int64()),
+                ("rows_out", pa.int64()),
+                ("committed_at", pa.timestamp("us")),
+                ("status", pa.string()),
+            ]
+        )
+        cols = list(zip(*rows))
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema
+        )
+        pq.write_table(
+            table,
+            os.path.join(self.root, "_manifest", f"manifest-{uuid.uuid4().hex}.parquet"),
+        )
 
     @staticmethod
     def _footer_counts(path: str) -> list[tuple[int, int]]:
@@ -266,9 +309,7 @@ class SnapshotStore:
                 ("vacuum", sink, s, -1, int(dropped), 0, vacuumed_at, "vacuumed")
             )
         if rows:
-            self.spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
-                os.path.join(self.root, "_manifest")
-            )
+            self._write_manifest_rows(rows)
         return sorted(doomed)
 
     def read(self, sink: str, snapshot: int | None = None) -> DataFrame:
@@ -359,9 +400,7 @@ class SnapshotStore:
                 (f"ttl_{older_than}", sink, snapshot, -1, int(dropped), 0, expired_at, f"expired:{d}")
             )
         if rows:
-            self.spark.createDataFrame(rows, MANIFEST).write.mode("append").parquet(
-                os.path.join(self.root, "_manifest")
-            )
+            self._write_manifest_rows(rows)
         if not survivors:
             # Everything aged out: commit an empty (unpartitioned) snapshot
             # so the sink stays readable; a later expire on it takes the
