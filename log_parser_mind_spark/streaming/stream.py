@@ -105,5 +105,11 @@ def incremental_pipeline(
         stream.writeStream.outputMode("update")
         .queryName(query_name)
         .foreachBatch(process)
+        # Default checkpoint under the warehouse root so a restarted query
+        # RESUMES from the last processed file instead of replaying epochs
+        # from zero (callers may override with a later .option call; replays
+        # that do happen are additionally absorbed by the store's
+        # per-(sink, run_id) idempotent commit).
+        .option("checkpointLocation", f"{root}/_checkpoint")
         .trigger(availableNow=True)
     )
