@@ -30,14 +30,13 @@ def ws_tokens_expr(text: Column) -> Column:
 
 
 def lower_tokens(text: Column) -> Column:
-    # NULL-safe: NULL text tokenizes to the EMPTY array, not NULL — a NULL
-    # tokens column poisons downstream scoring (size(NULL) is NULL, and
-    # least(NULL/64, 1.0) SKIPS the null, so a NULL doc scored a perfect
-    # length term of 1.0 → quality 0.7 instead of the floor 0.3).
-    t = F.lower(F.trim(text))
-    return F.when(t.isNull() | (t == ""), F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Alias of ``ws_tokens_expr`` — the text-analytics stage and the
+    fingerprint ops (simhash, hashing embedding) tokenize through ONE
+    definition. NULL-safe: NULL text tokenizes to the EMPTY array, not NULL —
+    a NULL tokens column poisons downstream scoring (size(NULL) is NULL, and
+    least(NULL/64, 1.0) SKIPS the null, so a NULL doc scored a perfect
+    length term of 1.0 → quality 0.7 instead of the floor 0.3)."""
+    return ws_tokens_expr(text)
 
 
 # -- tokens-column variants (the scale path) ---------------------------------

@@ -41,6 +41,7 @@ def curate_corpus(
     shingle_n: int = 3,
     min_quality: float = 0.0,
     langs: tuple[str, ...] | None = None,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Curated corpus: input columns plus (lang, quality, n_tokens).
 
@@ -67,8 +68,13 @@ def curate_corpus(
     # source and re-runs the dedup aggregation three times. The production
     # analog at 100 TB is committing a snapshot between stages
     # (plans/job.run's write-then-aggregate lesson); persist is the
-    # in-memory equivalent for the composed one-shot form.
-    survivors = docs.join(exact_keep, id_col, "left_semi").persist()
+    # in-memory equivalent for the composed one-shot form. The cache lives
+    # until Spark's LRU evicts it (lazy return → no unpersist point here);
+    # long-lived sessions calling this in a loop should pass
+    # persist_intermediate=False or clearCache() between calls.
+    survivors = docs.join(exact_keep, id_col, "left_semi")
+    if persist_intermediate:
+        survivors = survivors.persist()
 
     cand = dedup.minhash_lsh_candidates(
         survivors, id_col, text_col, k=minhash_k, bands=minhash_bands, shingle_n=shingle_n

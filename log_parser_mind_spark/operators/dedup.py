@@ -316,8 +316,18 @@ def embedding_near_dups(
     with a ``corpus_count`` hint to derive planes ≈ log2(N/target_bucket_size)
     (similarity.planes_for_corpus), and scale ``bands`` with it to keep the
     per-band width (and thus recall) roughly constant."""
-    from .similarity import cosine_expr, hyperplane_bucket
+    from .similarity import cosine_expr, hyperplane_bucket, planes_for_corpus
 
+    if n_planes is None:
+        if corpus_count is None:
+            raise ValueError("n_planes=None requires a corpus_count hint")
+        n_planes = planes_for_corpus(corpus_count)
+        if bands > 1:
+            # Round the DERIVED count up to a multiple of bands (an odd
+            # auto-scaled count must not crash the documented
+            # n_planes=None + corpus_count call); an EXPLICIT mismatch
+            # still raises below — the caller stated both numbers.
+            n_planes = -(-n_planes // bands) * bands
     b = hyperplane_bucket(
         embeddings,
         id_col,
@@ -325,17 +335,11 @@ def embedding_near_dups(
         dim=dim,
         n_planes=n_planes,
         seed=seed,
-        corpus_count=corpus_count,
     )
     if bands > 1:
-        n_planes_eff = n_planes
-        if n_planes_eff is None:
-            from .similarity import planes_for_corpus
-
-            n_planes_eff = planes_for_corpus(corpus_count)
-        if n_planes_eff % bands != 0:
-            raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes_eff})")
-        width = n_planes_eff // bands
+        if n_planes % bands != 0:
+            raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
+        width = n_planes // bands
         mask = F.lit((1 << width) - 1).cast("long")
         b = b.select(
             id_col,

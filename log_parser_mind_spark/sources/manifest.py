@@ -69,6 +69,7 @@ class SnapshotStore:
         sort_within_partitions: list[str] | None = None,
         partition_by: list[str] | None = None,
         marker_extra: dict | None = None,
+        skip_if_committed: bool = False,
     ) -> int:
         """Write ``df`` as the next snapshot of ``sink`` atomically and record
         per-partition row counts in the manifest. Returns the snapshot id.
@@ -76,13 +77,20 @@ class SnapshotStore:
         ``sort_within_partitions`` mirrors the reference's clustered sort key
         ORDER BY (source, template_id, timestamp) (001_clickhouse_schema.sql:21)
         → parquet min/max page stats give the same data-skipping effect.
+
+        ``skip_if_committed=True`` makes the commit idempotent per
+        (sink, run_id): a SEQUENTIALLY replayed micro-batch or retried job
+        whose commit already landed returns the existing snapshot instead of
+        appending a double-counting duplicate (the streaming path opts in).
+        It is opt-in because forced recomputes (resume=False) and repeated
+        TTL passes legitimately reuse run_ids and must commit fresh. It is a
+        read-then-reserve check, so two CONCURRENT committers with the same
+        run_id can still both land — the contract is one writer per run_id.
         """
-        # Exactly-once per (sink, run_id): a replayed micro-batch or retried
-        # job whose commit already landed must NOT append a second visible
-        # snapshot (read_all would double-count every replayed row).
-        for s in self.committed_snapshots(sink):
-            if self._marker(sink, s).get("run_id") == run_id:
-                return s
+        if skip_if_committed:
+            for s in self.committed_snapshots(sink):
+                if self._marker(sink, s).get("run_id") == run_id:
+                    return s
         reserved = snapshot is None
         if reserved:
             latest = self.latest_snapshot(sink)
@@ -200,10 +208,18 @@ class SnapshotStore:
         return sorted(counts.items())
 
     def _marker(self, sink: str, snapshot: int) -> dict:
-        with open(
-            os.path.join(self._sink_dir(sink), f"snapshot={snapshot}", COMMIT_MARKER)
-        ) as fh:
-            return json.load(fh)
+        # Markers are immutable once written — memoize, or a long streaming
+        # run's per-commit run_id scan is O(epochs²) json reads.
+        cache = getattr(self, "_marker_cache", None)
+        if cache is None:
+            cache = self._marker_cache = {}
+        key = (sink, snapshot)
+        if key not in cache:
+            with open(
+                os.path.join(self._sink_dir(sink), f"snapshot={snapshot}", COMMIT_MARKER)
+            ) as fh:
+                cache[key] = json.load(fh)
+        return cache[key]
 
     def _superseded(self, sink: str) -> set[int]:
         """Snapshot ids consumed by some compaction — their rows live in the

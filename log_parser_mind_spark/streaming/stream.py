@@ -72,10 +72,27 @@ def incremental_pipeline(
     snapshot store (upsert = groupBy min/max/sum — U1 semantics). Template
     IDs are content hashes, so re-mining a template already known yields the
     same ID and the merge is idempotent (exactly-once sinks)."""
+    import os
+    import uuid
+
     from ..operators.parse import parse_pipeline
 
     config = config or PipelineConfig()
     store = SnapshotStore(spark, root)
+    # Epoch ids are only unique WITHIN one checkpoint lineage: a deleted
+    # checkpoint restarts epochs at 0 over re-batched input, and a bare
+    # epoch-keyed run_id would then match an old commit and silently DROP the
+    # new batch. Pin a lineage uuid next to the checkpoint (same lifecycle):
+    # fresh checkpoint → fresh lineage → replays commit fresh (worst case
+    # duplicates, never loss); same checkpoint → replayed epochs dedup.
+    ck = os.path.join(root, "_checkpoint", query_name)
+    os.makedirs(ck, exist_ok=True)
+    lineage_file = os.path.join(ck, "_lineage")
+    if not os.path.exists(lineage_file):
+        with open(lineage_file, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+    with open(lineage_file) as fh:
+        lineage = fh.read().strip()
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         try:
@@ -83,7 +100,12 @@ def incremental_pipeline(
         except FileNotFoundError:
             seed = None
         parsed, templates, _ = parse_pipeline(batch_df, config, seed_templates=seed)
-        store.commit(parsed, "stream_parsed", run_id=f"epoch_{epoch_id}")
+        store.commit(
+            parsed,
+            "stream_parsed",
+            run_id=f"{lineage}_epoch_{epoch_id}",
+            skip_if_committed=True,
+        )
         try:
             prior = store.read("stream_templates")
             merged = (
@@ -99,17 +121,26 @@ def incremental_pipeline(
             )
         except FileNotFoundError:
             merged = templates
-        store.commit(merged, "stream_templates", run_id=f"epoch_{epoch_id}")
+        # Templates are a replace-style sink (read() = latest merged state):
+        # a replayed epoch recommitting the same merge is idempotent by
+        # value, and the lineage-scoped run_id dedups sequential replays.
+        store.commit(
+            merged,
+            "stream_templates",
+            run_id=f"{lineage}_epoch_{epoch_id}",
+            skip_if_committed=True,
+        )
 
     return (
         stream.writeStream.outputMode("update")
         .queryName(query_name)
         .foreachBatch(process)
-        # Default checkpoint under the warehouse root so a restarted query
-        # RESUMES from the last processed file instead of replaying epochs
-        # from zero (callers may override with a later .option call; replays
-        # that do happen are additionally absorbed by the store's
-        # per-(sink, run_id) idempotent commit).
-        .option("checkpointLocation", f"{root}/_checkpoint")
+        # Default checkpoint under the warehouse root, namespaced by query
+        # name (two queries over one warehouse must not share offset logs) —
+        # a restarted query RESUMES from the last processed file instead of
+        # replaying epochs from zero (callers may override with a later
+        # .option call; replays that do happen are additionally absorbed by
+        # the lineage-scoped idempotent commit above).
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
     )
