@@ -237,7 +237,7 @@ def maintain(
             raw_epochs = [
                 s
                 for s in store.visible_snapshots(sink)
-                if "compacted_from" not in store._marker(sink, s)
+                if "compacted_from" not in store._marker(sink, s, default={})
             ]
             if len(raw_epochs) > 1:
                 report["compacted"][sink] = store.compact(sink, sources=raw_epochs)

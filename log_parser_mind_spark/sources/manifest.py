@@ -89,7 +89,7 @@ class SnapshotStore:
         """
         if skip_if_committed:
             for s in self.committed_snapshots(sink):
-                if self._marker(sink, s).get("run_id") == run_id:
+                if self._marker(sink, s, default={}).get("run_id") == run_id:
                     return s
         reserved = snapshot is None
         if reserved:
@@ -207,18 +207,27 @@ class SnapshotStore:
             counts[tid] = counts.get(tid, 0) + pq.ParquetFile(f).metadata.num_rows
         return sorted(counts.items())
 
-    def _marker(self, sink: str, snapshot: int) -> dict:
-        # Markers are immutable once written — memoize, or a long streaming
-        # run's per-commit run_id scan is O(epochs²) json reads.
+    def _marker(self, sink: str, snapshot: int, default: dict | None = None) -> dict:
+        """Read (memoized — markers are immutable once written, and a long
+        streaming run's per-commit run_id scan would otherwise be O(epochs²)
+        json reads) a snapshot's commit marker. ``default`` makes a VANISHED
+        marker non-fatal for scan paths: a concurrent vacuum may rmtree a
+        superseded dir between a reader's listdir and its marker open —
+        scans must treat that as "snapshot gone", not crash the commit."""
         cache = getattr(self, "_marker_cache", None)
         if cache is None:
             cache = self._marker_cache = {}
         key = (sink, snapshot)
         if key not in cache:
-            with open(
-                os.path.join(self._sink_dir(sink), f"snapshot={snapshot}", COMMIT_MARKER)
-            ) as fh:
-                cache[key] = json.load(fh)
+            try:
+                with open(
+                    os.path.join(self._sink_dir(sink), f"snapshot={snapshot}", COMMIT_MARKER)
+                ) as fh:
+                    cache[key] = json.load(fh)
+            except FileNotFoundError:
+                if default is not None:
+                    return default  # do NOT cache: the dir may appear later
+                raise
         return cache[key]
 
     def _superseded(self, sink: str) -> set[int]:
@@ -226,7 +235,7 @@ class SnapshotStore:
         compaction snapshot that lists them in its ``compacted_from``."""
         sup: set[int] = set()
         for s in self.committed_snapshots(sink):
-            sup.update(self._marker(sink, s).get("compacted_from", []))
+            sup.update(self._marker(sink, s, default={}).get("compacted_from", []))
         return sup
 
     def visible_snapshots(self, sink: str) -> list[int]:
@@ -283,7 +292,7 @@ class SnapshotStore:
         if not sources:
             raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")
         total_rows = sum(
-            self._marker(sink, s).get("rows", 0) for s in sources
+            self._marker(sink, s, default={}).get("rows", 0) for s in sources
         )
         n_files = max(1, -(-total_rows // rows_per_file))
         df = self.read_all(sink, snapshots=sources)
@@ -319,8 +328,10 @@ class SnapshotStore:
         vacuumed_at = datetime.now(timezone.utc).replace(tzinfo=None)
         rows = []
         for s in sorted(doomed):
-            dropped = self._marker(sink, s).get("rows", 0)
-            shutil.rmtree(os.path.join(self._sink_dir(sink), f"snapshot={s}"))
+            dropped = self._marker(sink, s, default={}).get("rows", 0)
+            shutil.rmtree(
+                os.path.join(self._sink_dir(sink), f"snapshot={s}"), ignore_errors=True
+            )
             rows.append(
                 ("vacuum", sink, s, -1, int(dropped), 0, vacuumed_at, "vacuumed")
             )
