@@ -134,9 +134,11 @@ def q_streaming_templates(spark, sf_dir):
     t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
     q = (
         incremental_pipeline(
-            spark, stream_transcripts(spark, f"{root}/input", max_files=1), f"{root}/snap"
+            spark,
+            stream_transcripts(spark, f"{root}/input", max_files=1),
+            f"{root}/snap",
+            checkpoint_location=f"{root}/ckpt",
         )
-        .option("checkpointLocation", f"{root}/ckpt")
         .start()
     )
     q.awaitTermination()

@@ -63,6 +63,7 @@ def incremental_pipeline(
     root: str,
     config: PipelineConfig | None = None,
     query_name: str = "logmind_stream",
+    checkpoint_location: str | None = None,
 ):
     """T4 — foreachBatch incremental parse+mine. Each micro-batch mines with
     the templates committed by prior batches as SEED clusters (they
@@ -82,10 +83,15 @@ def incremental_pipeline(
     # Epoch ids are only unique WITHIN one checkpoint lineage: a deleted
     # checkpoint restarts epochs at 0 over re-batched input, and a bare
     # epoch-keyed run_id would then match an old commit and silently DROP the
-    # new batch. Pin a lineage uuid next to the checkpoint (same lifecycle):
-    # fresh checkpoint → fresh lineage → replays commit fresh (worst case
-    # duplicates, never loss); same checkpoint → replayed epochs dedup.
-    ck = os.path.join(root, "_checkpoint", query_name)
+    # new batch. Pin a lineage uuid INSIDE the checkpoint dir (same lifecycle
+    # by construction): fresh checkpoint → fresh lineage → replays commit
+    # fresh (worst case duplicates, never loss); same checkpoint → replayed
+    # epochs dedup. Callers that want a non-default checkpoint MUST pass
+    # checkpoint_location here rather than a later .option("checkpointLocation")
+    # — an .option override would leave the lineage file under the default
+    # path with a different lifecycle than the offset log, re-opening the
+    # stale-commit data-loss window this file exists to close.
+    ck = checkpoint_location or os.path.join(root, "_checkpoint", query_name)
     os.makedirs(ck, exist_ok=True)
     lineage_file = os.path.join(ck, "_lineage")
     if not os.path.exists(lineage_file):
@@ -135,12 +141,12 @@ def incremental_pipeline(
         stream.writeStream.outputMode("update")
         .queryName(query_name)
         .foreachBatch(process)
-        # Default checkpoint under the warehouse root, namespaced by query
+        # Checkpoint under the warehouse root by default, namespaced by query
         # name (two queries over one warehouse must not share offset logs) —
         # a restarted query RESUMES from the last processed file instead of
-        # replaying epochs from zero (callers may override with a later
-        # .option call; replays that do happen are additionally absorbed by
-        # the lineage-scoped idempotent commit above).
+        # replaying epochs from zero. Override via the checkpoint_location
+        # PARAMETER, never a later .option: the lineage file above must share
+        # the offset log's lifecycle (see comment there).
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
     )

@@ -161,3 +161,50 @@ def test_stream_parsed_lifecycle_compact_vacuum(spark, staged_input, tmp_path):
         (r.conv_id, r.turn_idx)
         for r in store.read_all("stream_parsed").select("conv_id", "turn_idx").collect()
     ) == keys_before
+
+
+def test_lineage_lives_in_overridden_checkpoint(spark, staged_input, tmp_path):
+    """ADVICE r3 (medium): with a caller-chosen checkpoint dir, the replay-
+    dedup lineage uuid must live INSIDE that dir so deleting the checkpoint
+    (a recovery action) also resets the lineage — epoch ids restarting at 0
+    then commit under a FRESH lineage instead of matching stale commits and
+    silently dropping new batches."""
+    import os
+    import shutil
+
+    from log_parser_mind_spark.sources.manifest import SnapshotStore
+
+    path, batch_df = staged_input
+    root = str(tmp_path / "wh")
+    ck = str(tmp_path / "custom_ck")
+
+    st.incremental_pipeline(spark, st.stream_transcripts(spark, path), root,
+                            checkpoint_location=ck)
+    # Lineage pinned inside the ACTUAL checkpoint dir, not the default one.
+    assert os.path.exists(os.path.join(ck, "_lineage"))
+    assert not os.path.exists(os.path.join(root, "_checkpoint"))
+
+    q = st.incremental_pipeline(
+        spark, st.stream_transcripts(spark, path), root, checkpoint_location=ck
+    ).start()
+    q.awaitTermination(180)
+    store = SnapshotStore(spark, root)
+    epochs_before = store.visible_snapshots("stream_parsed")
+    with open(os.path.join(ck, "_lineage")) as fh:
+        lineage_before = fh.read().strip()
+
+    # Recovery: checkpoint wiped, warehouse kept. Epochs replay from 0; the
+    # fresh lineage must make them COMMIT (dupes acceptable, loss is not).
+    shutil.rmtree(ck)
+    q = st.incremental_pipeline(
+        spark, st.stream_transcripts(spark, path), root, checkpoint_location=ck
+    ).start()
+    q.awaitTermination(180)
+    with open(os.path.join(ck, "_lineage")) as fh:
+        assert fh.read().strip() != lineage_before
+    assert len(store.visible_snapshots("stream_parsed")) > len(epochs_before)
+    # The replayed input is fully present (at-least-once on parsed rows).
+    replayed = (
+        store.read_all("stream_parsed").select("conv_id", "turn_idx").distinct().count()
+    )
+    assert replayed == batch_df.count()
