@@ -191,7 +191,9 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     moves one 64-wide row per document per input partition — not one row per
     token. Deterministic: xxhash64 is a pure function of the token bytes, and
     integer sums are order-independent, so the fingerprint is identical at any
-    parallelism. Docs with no tokens get simhash 0 (all votes empty)."""
+    parallelism. Docs with no tokens get simhash 0 (all votes empty) and
+    n_tokens 0 — downstream pair joins use n_tokens to keep the vacuous
+    fingerprint out of hot buckets (see simhash_near_dup_pairs)."""
     from ..functions.text import ws_tokens_expr
 
     toks = ws_tokens_expr(F.col(text_col))
@@ -211,11 +213,11 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         ).alias(f"b{i}")
         for i in range(64)
     ]
-    agg = exploded.groupBy("id").agg(*votes)
+    agg = exploded.groupBy("id").agg(*votes, F.count(F.col("h")).alias("n_tokens"))
     sim = F.lit(0).cast("long")
     for i in range(64):
         sim = sim + F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
-    return agg.select("id", sim.alias("simhash"))
+    return agg.select("id", sim.alias("simhash"), "n_tokens")
 
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -227,6 +229,34 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .agg(F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
+
+
+def simhash_banded(sh: DataFrame, bands: int) -> DataFrame:
+    """Explode a simhash table into (id, simhash, band_idx, band_val) rows —
+    the join-key table ``simhash_near_dup_pairs`` self-joins. Public so cost
+    evidence (similarity.bucket_stats over ["band_idx", "band_val"]) can be
+    computed on the EXACT table the operator joins."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    return sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(mask)
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_idx", "band.band_val")
 
 
 def simhash_near_dup_pairs(
@@ -247,31 +277,22 @@ def simhash_near_dup_pairs(
     band explode is 4 rows per doc of (long, long, long); join cost is
     Σ bucket² per band value, exactly the minhash-LSH shape — never an
     all-pairs pass. Everything is JVM expressions (popcount via bit_count),
-    zero Python."""
+    zero Python.
+
+    HOT-BUCKET GUARD: every token-less doc fingerprints to simhash 0, so on
+    a raw crawl with M empty/whitespace docs, band value 0 of EVERY band
+    becomes one M-sized bucket and the join goes quadratic in M — while the
+    M·(M−1)/2 "pairs" it would emit say nothing about content similarity
+    (hamming over vacuous fingerprints). Token-less docs are therefore
+    excluded from the band join entirely; callers that care about them get
+    the single trivial group from ``simhash_near_dups`` (groupBy fingerprint,
+    linear) or ``exact_dups`` instead."""
     if not 0 <= k < bands:
         raise ValueError(f"k ({k}) must satisfy 0 <= k < bands ({bands}) for exact recall")
     if 64 % bands != 0:
         raise ValueError(f"bands ({bands}) must divide 64")
-    width = 64 // bands
-    mask = F.lit((1 << width) - 1).cast("long")
-    sh = simhash_table(docs, id_col, text_col)
-    banded = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftrightunsigned("simhash", b * width)
-                        .bitwiseAND(mask)
-                        .alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "simhash", "band.band_idx", "band.band_val")
+    sh = simhash_table(docs, id_col, text_col).filter(F.col("n_tokens") > 0)
+    banded = simhash_banded(sh, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band_idx", "band_val"])

