@@ -548,3 +548,39 @@ def test_simhash_empty_docs_stay_out_of_hot_bucket(spark):
     # (linear, one row) for callers who want to count/drop empty docs.
     groups = {r.simhash: r.n for r in dedup.simhash_near_dups(corpus).collect()}
     assert groups.get(0, 0) == m
+
+
+def test_pipeline_composition_triggers_no_jobs(spark):
+    """VERDICT r3 item 8: composing the curation + ANN pipeline with explicit
+    ``dim`` must be pure plan construction — zero Spark jobs until an action.
+    The ``.first()`` dim-inference fallback (similarity.py) is for ad-hoc use
+    only; this pins that every internal path stays lazy, so a 100 TB pipeline
+    doesn't silently scan the corpus while BUILDING its plan. The contrast
+    case proves the test can detect a job at all."""
+    from log_parser_mind_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("compose_only", "plan construction must stay lazy")
+    try:
+        curated = curate.curate_corpus(docs, persist_intermediate=False)
+        bucketed = similarity.hyperplane_bucket(emb, dim=4, n_planes=4)
+        topk = similarity.lsh_topk(emb, emb, k=2, dim=4)
+        near = dedup.embedding_near_dups(emb, dim=4, n_planes=4, bands=2)
+        composed = curated.join(topk, curated.doc_id == topk.query_id, "left")
+        assert tracker.getJobIdsForGroup("compose_only") == []
+        # Contrast: the documented ad-hoc fallback DOES run a driver-side job.
+        similarity.hyperplane_bucket(emb, n_planes=4)  # dim omitted → .first()
+        assert tracker.getJobIdsForGroup("compose_only") != []
+        assert near.count() >= 0 and bucketed.count() > 0 and composed.count() > 0
+    finally:
+        sc.setJobGroup("", "")
