@@ -195,6 +195,7 @@ def maintain(
     ttl_cutoff: str | None = None,
     append_sinks: tuple[str, ...] = ("stream_parsed",),
     keep_history: int = 3,
+    dry_run: bool = False,
 ) -> dict:
     """Warehouse maintenance pass — the explicit analog of what ClickHouse
     does in the background (TTL part drops + MergeTree part merges,
@@ -212,6 +213,12 @@ def maintain(
          the newest ``keep_history`` snapshots (read() = latest; older
          snapshots are mere history).
 
+    Append-ness is the union of the DECLARED ``append_sinks`` and any sink
+    whose own commit markers carry the ``append_style`` tag (the streaming
+    path tags its epochs) — a forgotten declaration degrades to a skipped
+    compaction, never to keep_last pruning live epochs (ADVICE r3).
+    ``dry_run=True`` reports what each step WOULD do without touching disk.
+
     Idempotent, and safe alongside a live streaming writer: snapshot ids are
     mkdir-reserved (no overwrite race) and an epoch committed mid-compaction
     stays visible because compaction supersedes only its listed sources.
@@ -228,22 +235,26 @@ def maintain(
         if d != "_manifest" and os.path.isdir(os.path.join(root, d))
     ]
     if ttl_cutoff is not None and store.committed_snapshots("parsed_turns"):
-        store.expire("parsed_turns", "ts", ttl_cutoff)
+        if not dry_run:
+            store.expire("parsed_turns", "ts", ttl_cutoff)
         report["expired"].append("parsed_turns")
     for sink in sinks:
         if not store.committed_snapshots(sink):
             continue
-        if sink in append_sinks:
+        if sink in append_sinks or store.is_append_style(sink):
             raw_epochs = [
                 s
                 for s in store.visible_snapshots(sink)
                 if "compacted_from" not in store._marker(sink, s, default={})
             ]
             if len(raw_epochs) > 1:
-                report["compacted"][sink] = store.compact(sink, sources=raw_epochs)
-            vacuumed = store.vacuum(sink)
+                if dry_run:
+                    report["compacted"][sink] = raw_epochs
+                else:
+                    report["compacted"][sink] = store.compact(sink, sources=raw_epochs)
+            vacuumed = store.vacuum(sink, dry_run=dry_run)
         else:
-            vacuumed = store.vacuum(sink, keep_last=keep_history)
+            vacuumed = store.vacuum(sink, keep_last=keep_history, dry_run=dry_run)
         if vacuumed:
             report["vacuumed"][sink] = vacuumed
     return report

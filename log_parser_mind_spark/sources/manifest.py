@@ -298,33 +298,62 @@ class SnapshotStore:
         df = self.read_all(sink, snapshots=sources)
         if not partition_by:
             df = df.coalesce(n_files)
+        extra = {"compacted_through": sources[-1], "compacted_from": sources}
+        # Append-ness must survive compaction+vacuum: once the tagged source
+        # epochs are vacuumed, the consolidated snapshot is the only marker
+        # left to tell maintenance this sink's history is live data.
+        if any(self._marker(sink, s, default={}).get("append_style") for s in sources):
+            extra["append_style"] = True
         return self.commit(
             df,
             sink,
             run_id=f"compact_{sources[0]}_{sources[-1]}",
             sort_within_partitions=sort_within_partitions,
             partition_by=partition_by,
-            marker_extra={"compacted_through": sources[-1], "compacted_from": sources},
+            marker_extra=extra,
         )
 
-    def vacuum(self, sink: str, keep_last: int | None = None) -> list[int]:
+    def is_append_style(self, sink: str) -> bool:
+        """True when any committed snapshot of ``sink`` carries the
+        ``append_style`` marker tag (the streaming path tags its epoch
+        commits). Append-ness recorded AT COMMIT TIME means maintenance can
+        refuse history pruning even when the operator forgot to declare the
+        sink in ``maintain(append_sinks=...)`` (ADVICE r3: destructive by
+        default on misconfiguration)."""
+        return any(
+            self._marker(sink, s, default={}).get("append_style")
+            for s in self.committed_snapshots(sink)
+        )
+
+    def vacuum(
+        self, sink: str, keep_last: int | None = None, dry_run: bool = False
+    ) -> list[int]:
         """Physically delete superseded snapshot dirs. Always safe for
         snapshots some compaction lists in ``compacted_from`` (their rows
         live in the compaction snapshot). ``keep_last=N`` additionally prunes
         all but the newest N snapshots — ONLY for replace-style sinks
         (templates, baselines) where ``read()`` = latest and older snapshots
         are mere history; on an append-style sink it would delete live data,
-        so it is opt-in. Returns the deleted snapshot ids; never touches the
-        latest."""
+        so it is opt-in AND refused outright when the sink's own commit
+        markers say it is append-style. ``dry_run=True`` returns what would
+        be deleted without touching disk. Returns the (would-be) deleted
+        snapshot ids; never touches the latest."""
         import shutil
 
         committed = self.committed_snapshots(sink)
         if not committed:
             return []
+        if keep_last is not None and self.is_append_style(sink):
+            raise ValueError(
+                f"sink {sink!r} has append_style commit markers: keep_last pruning "
+                "would delete live epochs — compact first, then plain vacuum()"
+            )
         doomed = set(self._superseded(sink)) & set(committed)
         if keep_last is not None:
             doomed.update(committed[:-keep_last] if keep_last > 0 else committed)
         doomed.discard(committed[-1])
+        if dry_run:
+            return sorted(doomed)
         vacuumed_at = datetime.now(timezone.utc).replace(tzinfo=None)
         rows = []
         for s in sorted(doomed):
@@ -393,6 +422,19 @@ class SnapshotStore:
         For an unpartitioned sink this falls back to a filter + rewrite into
         a NEW snapshot — correct, but a full-copy job at 100 TB; partition
         production sinks by month (plans/job.py does for parsed_turns)."""
+        # Normalize the cutoff up front (ADVICE r3): the partition branch
+        # derives the drop month from the string, so a sloppy-but-parseable
+        # cutoff like '2024-1-5' or '2024-01-05T00:00:00+02:00' must become
+        # canonical 'yyyy-MM' rather than mis-slicing into a lexicographic
+        # comparison that silently expires the WRONG partitions. Unparseable
+        # input raises here instead of deleting data.
+        try:
+            cutoff_dt = datetime.fromisoformat(older_than)
+        except ValueError as e:
+            raise ValueError(
+                f"expire() cutoff {older_than!r} is not an ISO date/datetime"
+            ) from e
+        cutoff_month = cutoff_dt.strftime("%Y-%m")  # lexicographic == chronological
         snapshot = self.latest_snapshot(sink)
         if snapshot is None:
             raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")
@@ -408,7 +450,6 @@ class SnapshotStore:
 
         import shutil
 
-        cutoff_month = older_than[:7]  # 'yyyy-MM' — lexicographic == chronological
         # Capture the schema BEFORE dropping: if every month expires, the
         # snapshot would be left with no parquet files and read() would fail
         # with UNABLE_TO_INFER_SCHEMA — ClickHouse TTL leaves an

@@ -111,6 +111,10 @@ def incremental_pipeline(
             "stream_parsed",
             run_id=f"{lineage}_epoch_{epoch_id}",
             skip_if_committed=True,
+            # Epochs are APPEND data (read_all = union of all of them);
+            # tagging at commit time lets maintenance refuse keep_last
+            # pruning even if the operator forgets to declare this sink.
+            marker_extra={"append_style": True},
         )
         try:
             prior = store.read("stream_templates")

@@ -316,3 +316,78 @@ def test_expire_all_months_leaves_readable_empty_sink(spark, tmp_path):
     out = store.read("parsed_turns")
     assert out.count() == 0
     assert "ts" in out.columns  # schema preserved, sink queryable
+
+
+def test_ttl_cutoff_validated_before_any_delete(spark, tmp_path):
+    """ADVICE r3: expire() must normalize the cutoff (ISO parse → 'yyyy-MM')
+    before touching disk. A non-ISO string like '2024-1-5' previously
+    mis-sliced to '2024-1-' and lexicographically expired the wrong months;
+    now it raises, and an offset-bearing ISO cutoff lands on the right
+    month."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh_cutoff")
+    store = SnapshotStore(spark, root)
+    rows = [(f"c{i}", 0, "user", f"m{i}", "none", f"2024-0{m}-15 00:00:00")
+            for m in (1, 2) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df = df.withColumn("month", F.date_format("ts", "yyyy-MM"))
+    store.commit(df, "parsed", run_id="a", partition_by=["month"])
+
+    months = lambda: sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(root, "parsed", "snapshot=0", "month=*"))
+    )
+    before = months()
+    with pytest.raises(ValueError, match="not an ISO"):
+        store.expire("parsed", "ts", "2024-1-5")
+    with pytest.raises(ValueError, match="not an ISO"):
+        store.expire("parsed", "ts", "last tuesday")
+    assert months() == before  # nothing deleted on bad input
+
+    # Offset-bearing ISO cutoff normalizes to its month and drops only before it.
+    store.expire("parsed", "ts", "2024-02-05T00:00:00+02:00")
+    assert months() == ["month=2024-02"]
+
+
+def test_append_style_tag_blocks_keep_last_pruning(spark, transcripts, tmp_path):
+    """ADVICE r3: a sink whose commits are tagged append_style must never
+    lose live epochs to maintain()'s keep_last pruning, even when the
+    operator FORGETS to declare it in append_sinks. The tag survives
+    compaction, direct vacuum(keep_last) refuses, and dry_run reports
+    without deleting."""
+    from pyspark.sql import functions as F
+
+    from log_parser_mind_spark.plans.job import maintain
+
+    root = str(tmp_path / "wh_tag")
+    store = SnapshotStore(spark, root)
+    # Four tagged epochs of distinct rows (epoch-style appends).
+    for i in range(4):
+        part = transcripts.filter(F.col("turn_idx") % 4 == i)
+        store.commit(part, "events_epochs", run_id=f"e{i}",
+                     marker_extra={"append_style": True})
+    total = transcripts.count()
+    assert store.read_all("events_epochs").count() == total
+
+    with pytest.raises(ValueError, match="append_style"):
+        store.vacuum("events_epochs", keep_last=2)
+
+    # Misconfigured maintain: sink NOT declared append — the tag routes it
+    # to the compact-then-vacuum branch instead of keep_last pruning.
+    dry = maintain(spark, root, append_sinks=(), keep_history=2, dry_run=True)
+    assert dry["compacted"].get("events_epochs") == [0, 1, 2, 3]
+    assert store.visible_snapshots("events_epochs") == [0, 1, 2, 3]  # untouched
+    rep = maintain(spark, root, append_sinks=(), keep_history=2)
+    assert store.read_all("events_epochs").count() == total  # no data loss
+    sid = rep["compacted"]["events_epochs"]
+    # The consolidated snapshot inherits the tag, so a LATER keep_last pass
+    # still refuses once the source epochs are gone.
+    assert store.is_append_style("events_epochs")
+    assert store.visible_snapshots("events_epochs") == [sid]
+    with pytest.raises(ValueError, match="append_style"):
+        store.vacuum("events_epochs", keep_last=1)
