@@ -87,6 +87,37 @@ def q_drain_global_stats(spark, sf_dir):
     )
 
 
+def q_template_stats(spark, sf_dir):
+    """A6 — drain.GetStats (drain.go:419-438): cluster count, Σ size, average
+    cluster size over the mined template dimension (operators/aggregate.py
+    template_stats). Oracle: the same aggregate in SQL over the
+    drain_templates golden, whose provenance is the INDEPENDENT pandas
+    oracle — so the row is value-checked against an independent derivation,
+    not locked engine output."""
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    _, templates, _ = parse_pipeline(transcripts, PipelineConfig())
+    return agg.template_stats(templates).select(
+        F.col("total_clusters").cast("long").alias("total_clusters"),
+        F.col("total_logs").cast("long").alias("total_logs"),
+        F.round("average_size", 6).alias("average_size"),
+    )
+
+
+def q_worker_metrics(spark, sf_dir):
+    """A13 — worker-pool processed/error counters (worker.go:47-54,213-223):
+    per-partition counts (operators/aggregate.py worker_metrics, the manifest
+    lineage rows) summed to the pool totals. The per-worker SPLIT is a
+    parallelism artifact; the totals are the invariant the reference's
+    metrics endpoint reports. Oracle: counts over the drain_parsed_turns
+    golden (independent pandas-oracle provenance)."""
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    parsed, _, _ = parse_pipeline(transcripts, PipelineConfig())
+    return agg.worker_metrics(parsed).agg(
+        F.sum("rows").cast("long").alias("processed"),
+        F.sum("errors").cast("long").alias("errors"),
+    )
+
+
 def q_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, k=32, bands=16)
@@ -1406,6 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_templates": q_drain_templates,
         "drain_parsed_turns": q_drain_parsed_turns,
         "drain_global_stats": q_drain_global_stats,
+        "template_stats": q_template_stats,
+        "worker_metrics": q_worker_metrics,
         "minhash_candidates": q_minhash_candidates,
         "simhash_groups": q_simhash_groups,
         "simhash_hamming_dups": q_simhash_hamming_dups,
@@ -1504,6 +1537,19 @@ def oracle_sql() -> dict[str, str]:
         "drain_global_stats": _golden_sql(
             "drain_global_stats",
             "total_logs, unique_templates, total_original_size, total_compressed_size, compression_ratio",
+        ),
+        # A6/A13 aggregate OVER the independently-derived drain goldens, so
+        # DuckDB recomputes the statistic rather than echoing locked output.
+        "template_stats": (
+            "SELECT CAST(count(*) AS BIGINT) AS total_clusters, "
+            "CAST(sum(log_count) AS BIGINT) AS total_logs, "
+            "round(avg(log_count), 6) AS average_size "
+            f"FROM read_parquet('{_GOLDEN_DIR}/drain_templates.parquet/*.parquet')"
+        ),
+        "worker_metrics": (
+            "SELECT CAST(count(*) AS BIGINT) AS processed, "
+            "CAST(count(*) FILTER (WHERE template_id IS NULL) AS BIGINT) AS errors "
+            f"FROM read_parquet('{_GOLDEN_DIR}/drain_parsed_turns.parquet/*.parquet')"
         ),
         "simhash_groups": _golden_sql("simhash_groups", "simhash, n"),
         "simhash_hamming_dups": _golden_sql("simhash_hamming_dups", "id_a, id_b, hamming"),

@@ -3,7 +3,11 @@ entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and order-insensitive values (exact after the declared
 rounding). Exit non-zero on any mismatch.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a per-query result map {"name": {"status", "rows", "detail"}}
+— the committed full-sweep artifact the driver's sampled CORRECTNESS file is
+cross-checked against (VERDICT r3 item 4).
 """
 
 from __future__ import annotations
@@ -36,8 +40,14 @@ def norm_df(pdf: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from log_parser_mind_spark.session import get_spark
@@ -57,15 +67,18 @@ def main() -> int:
             got_df = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            results[name] = {"status": "spark_error", "detail": str(e)[:300]}
             print(f"{name:24s} SPARK-ERROR {str(e).splitlines()[0][:120]}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(got_df)}
             print(f"{name:24s} rows-only   rows={len(got_df)}")
             continue
         try:
             want_df = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
+            results[name] = {"status": "oracle_error", "detail": str(e)[:300]}
             print(f"{name:24s} ORACLE-ERROR {str(e).splitlines()[0][:120]}")
             continue
         problems = []
@@ -80,10 +93,18 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append((name, "; ".join(problems)))
+            results[name] = {"status": "mismatch", "rows": len(got_df), "detail": "; ".join(problems)[:300]}
             print(f"{name:24s} MISMATCH    {problems[0][:160]}")
         else:
+            results[name] = {"status": "ok", "rows": len(got_df)}
             print(f"{name:24s} OK          rows={len(got_df)}")
 
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "n_failures": len(failures), "results": results}, fh, indent=1)
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     for name, msg in failures:
         print(f"  FAIL {name}: {msg[:300]}")
