@@ -136,14 +136,10 @@ def run(
     from ..sources.iceberg import snapshot_store
 
     store = snapshot_store(spark, root, namespace=namespace)
-    if resume and not hasattr(store, "manifest"):
-        # The Iceberg backend has no lineage-manifest resume yet; silently
-        # proceeding would re-append every already-committed sink (duplicate
-        # rows) on a re-run. Fail loud instead of corrupting the tables.
-        raise NotImplementedError(
-            "resume is not implemented for the Iceberg backend — re-run with "
-            "resume=False against fresh tables, or use the parquet store"
-        )
+    # Both backends carry the same resume surface: manifest() lineage rows
+    # cross-checked against is_committed() (parquet: _COMMITTED marker files;
+    # Iceberg: snapshot ids in catalog metadata, where the atomic data commit
+    # IS the marker — sources/iceberg.py).
     result = JobResult(sinks={})
     done = _committed_by_run(store, run_id) if resume else set()
 
