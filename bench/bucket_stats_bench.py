@@ -80,25 +80,11 @@ def main(replicas: int = 16) -> None:
     ).select("id", "band.band_idx", "band.band_hash")
     minhash_stats = _stats(banded, ["band_idx", "band_hash"])
 
-    # simhash 16-bit band slices (the hamming<=k join key)
-    sh = dedup.simhash_table(big)
-    width, nb = 16, 4
-    sim_banded = sh.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftrightunsigned("simhash", b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                        .alias("band_val"),
-                    )
-                    for b in range(nb)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_val")
+    # simhash 16-bit band slices — the EXACT join-key table the operator
+    # self-joins (simhash_banded over the n_tokens>0-filtered table, matching
+    # simhash_near_dup_pairs' empty-doc hot-bucket guard).
+    sh = dedup.simhash_table(big).filter(F.col("n_tokens") > 0)
+    sim_banded = dedup.simhash_banded(sh, 4).select("id", "band_idx", "band_val")
     simhash_stats = _stats(sim_banded, ["band_idx", "band_val"])
 
     # hyperplane buckets: fixed 8 planes vs auto-scaled planes_for_corpus

@@ -46,7 +46,8 @@ def parse_eventlogs(evdir: str) -> dict:
     for dirpath, _dirs, files in os.walk(evdir):
         for fn in files:
             # v1: one file per app; v2 (Spark 4): eventlog_v2_<app>/events_N_*
-            if fn.startswith("events_") or fn.startswith("app-") or fn.endswith(".inprogress"):
+            if (fn.startswith("events_") or fn.startswith("app-")
+                    or fn.startswith("local-") or fn.endswith(".inprogress")):
                 paths.append(os.path.join(dirpath, fn))
     for path in paths:
         with open(path, errors="replace") as fh:
@@ -109,6 +110,9 @@ def main() -> None:
             "spark.eventLog.compress": "false",
         })
         m = parse_eventlogs(evdir)
+        # A layout change that parses zero events must fail loudly here, not
+        # append a nonsense 0×-inflation table to BASELINE.md.
+        assert m["totals"]["tasks"] > 0, f"no TaskEnd events parsed under {evdir}"
         results[label] = {"master": master, "wall": r["elapsed_sec"],
                           "checksum": r["checksum"], **m}
         t = m["totals"]

@@ -213,7 +213,13 @@ def maintain(
     whose own commit markers carry the ``append_style`` tag (the streaming
     path tags its epochs) — a forgotten declaration degrades to a skipped
     compaction, never to keep_last pruning live epochs (ADVICE r3).
-    ``dry_run=True`` reports what each step WOULD do without touching disk.
+
+    ``dry_run=True`` reports what each step WOULD do without touching disk,
+    and still runs the same up-front validation as the real pass (a cutoff
+    the real run would reject raises in the preview too). Report shapes:
+    ``compacted[sink]`` is the would-be source list on a dry run vs the new
+    snapshot id on a real one; ``vacuumed[sink]`` on a dry run includes the
+    compaction sources that the real pass would supersede then reclaim.
 
     Idempotent, and safe alongside a live streaming writer: snapshot ids are
     mkdir-reserved (no overwrite race) and an epoch committed mid-compaction
@@ -230,10 +236,17 @@ def maintain(
         for d in sorted(os.listdir(root))
         if d != "_manifest" and os.path.isdir(os.path.join(root, d))
     ]
-    if ttl_cutoff is not None and store.committed_snapshots("parsed_turns"):
-        if not dry_run:
-            store.expire("parsed_turns", "ts", ttl_cutoff)
-        report["expired"].append("parsed_turns")
+    if ttl_cutoff is not None:
+        # Validate even when nothing will be expired / on a preview: a dry
+        # run reporting success for a cutoff the real run rejects defeats
+        # the preview's purpose.
+        from ..sources.manifest import _normalize_cutoff_month
+
+        _normalize_cutoff_month(ttl_cutoff)
+        if store.committed_snapshots("parsed_turns"):
+            if not dry_run:
+                store.expire("parsed_turns", "ts", ttl_cutoff)
+            report["expired"].append("parsed_turns")
     for sink in sinks:
         if not store.committed_snapshots(sink):
             continue
@@ -243,12 +256,17 @@ def maintain(
                 for s in store.visible_snapshots(sink)
                 if "compacted_from" not in store._marker(sink, s, default={})
             ]
-            if len(raw_epochs) > 1:
+            would_compact = len(raw_epochs) > 1
+            if would_compact:
                 if dry_run:
                     report["compacted"][sink] = raw_epochs
                 else:
                     report["compacted"][sink] = store.compact(sink, sources=raw_epochs)
             vacuumed = store.vacuum(sink, dry_run=dry_run)
+            if dry_run and would_compact:
+                # The real pass's compaction supersedes its sources, which
+                # the subsequent vacuum then reclaims — preview that too.
+                vacuumed = sorted(set(vacuumed) | set(raw_epochs))
         else:
             vacuumed = store.vacuum(sink, keep_last=keep_history, dry_run=dry_run)
         if vacuumed:

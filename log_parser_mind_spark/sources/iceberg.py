@@ -114,10 +114,15 @@ class IcebergStore:
         run_id: str,
         partition_by: list[str] | None,
         extra_props: dict | None = None,
-    ) -> int:
+    ) -> tuple[int, dict]:
         """Atomically replace ``sink``'s contents with ``df`` in one Iceberg
         snapshot whose summary carries run_id (+ extra_props). Returns the
-        new snapshot id."""
+        new snapshot's (id, summary) in ONE metadata pass. The snapshot is
+        identified as the newest whose summary run_id matches — never
+        "newest overall": a concurrent committer landing between our commit
+        and the metadata query (or a committed_at tie; Iceberg snapshot ids
+        are random longs, so ordering by id is no tiebreak) must not have
+        ITS snapshot attributed to our run_id in the manifest."""
         from pyspark.sql import functions as F
 
         t = self._table(sink)
@@ -131,7 +136,12 @@ class IcebergStore:
         if partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         writer.createOrReplace()
-        return self._snapshots(sink)[0][0]
+        for sid, summary in self._snapshots(sink):
+            if summary.get("run_id") == run_id:
+                return sid, summary
+        raise RuntimeError(
+            f"commit to {t} produced no snapshot with run_id {run_id!r}"
+        )
 
     def _snapshots(self, sink: str) -> list[tuple[int, dict]]:
         """[(snapshot_id, summary_map)] newest-first; [] for an absent table."""
@@ -185,8 +195,7 @@ class IcebergStore:
         out = df
         if sort_within_partitions:
             out = out.sortWithinPartitions(*sort_within_partitions)
-        sid = self._write_data(out, sink, run_id, partition_by, marker_extra)
-        summary = dict(self._snapshots(sink))[sid]
+        sid, summary = self._write_data(out, sink, run_id, partition_by, marker_extra)
         # Iceberg maintains added-records in the summary natively — the same
         # "metadata, never a second scan" property the parquet store gets
         # from parquet footers.

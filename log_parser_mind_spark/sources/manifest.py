@@ -28,6 +28,26 @@ from ..schemas import MANIFEST
 COMMIT_MARKER = "_COMMITTED"
 
 
+def _normalize_cutoff_month(older_than: str) -> str:
+    """Validate a TTL cutoff and return its canonical 'yyyy-MM' month IN THE
+    DATA'S FRAME (naive == UTC, which is how every ts column here is stored).
+    A sloppy-but-parseable cutoff like '2024-1-5' must raise rather than
+    mis-slice into a lexicographic comparison that expires the wrong
+    partitions; an offset-bearing ISO cutoff is converted to UTC first —
+    '2024-03-01T01:00:00+02:00' is 2024-02-29T23:00Z, month 2024-02, and
+    taking its local month (2024-03) would delete a partition containing
+    rows NEWER than the cutoff instant."""
+    try:
+        cutoff_dt = datetime.fromisoformat(older_than)
+    except ValueError as e:
+        raise ValueError(
+            f"TTL cutoff {older_than!r} is not an ISO date/datetime"
+        ) from e
+    if cutoff_dt.tzinfo is not None:
+        cutoff_dt = cutoff_dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return cutoff_dt.strftime("%Y-%m")  # lexicographic == chronological
+
+
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -385,10 +405,13 @@ class SnapshotStore:
         works directly). Views pin the LATEST snapshot at attach time
         (replace-style read); sinks DECLARED append-style get a
         ``<prefix>_<sink>_all`` union view instead of the latest-only one.
-        Append-ness is declared, never inferred from snapshot count — a
-        replace-style sink with history would otherwise get a union view
-        that duplicates every row once per historical snapshot. Re-attach
-        after new commits to refresh. Returns the registered view names."""
+        Append-ness is the union of the DECLARED tuple and the sink's own
+        ``append_style`` commit markers (never inferred from snapshot count —
+        a replace-style sink with history would otherwise get a union view
+        duplicating every row once per historical snapshot): a tagged sink
+        the caller forgot to declare must not get a latest-only view that
+        silently shows one epoch as the whole table. Re-attach after new
+        commits to refresh. Returns the registered view names."""
         names = []
         for sink in sorted(os.listdir(self.root)):
             if sink == "_manifest" or not os.path.isdir(self._sink_dir(sink)):
@@ -397,7 +420,7 @@ class SnapshotStore:
                 continue
             self.read(sink).createOrReplaceTempView(f"{prefix}_{sink}")
             names.append(f"{prefix}_{sink}")
-            if sink in append_sinks:
+            if sink in append_sinks or self.is_append_style(sink):
                 self.read_all(sink).createOrReplaceTempView(f"{prefix}_{sink}_all")
                 names.append(f"{prefix}_{sink}_all")
         self.manifest().createOrReplaceTempView(f"{prefix}_manifest")
@@ -422,19 +445,10 @@ class SnapshotStore:
         For an unpartitioned sink this falls back to a filter + rewrite into
         a NEW snapshot — correct, but a full-copy job at 100 TB; partition
         production sinks by month (plans/job.py does for parsed_turns)."""
-        # Normalize the cutoff up front (ADVICE r3): the partition branch
-        # derives the drop month from the string, so a sloppy-but-parseable
-        # cutoff like '2024-1-5' or '2024-01-05T00:00:00+02:00' must become
-        # canonical 'yyyy-MM' rather than mis-slicing into a lexicographic
-        # comparison that silently expires the WRONG partitions. Unparseable
-        # input raises here instead of deleting data.
-        try:
-            cutoff_dt = datetime.fromisoformat(older_than)
-        except ValueError as e:
-            raise ValueError(
-                f"expire() cutoff {older_than!r} is not an ISO date/datetime"
-            ) from e
-        cutoff_month = cutoff_dt.strftime("%Y-%m")  # lexicographic == chronological
+        # Validate + normalize the cutoff BEFORE touching disk (ADVICE r3):
+        # unparseable input raises instead of deleting data, offsets convert
+        # to the data's UTC frame (see _normalize_cutoff_month).
+        cutoff_month = _normalize_cutoff_month(older_than)
         snapshot = self.latest_snapshot(sink)
         if snapshot is None:
             raise FileNotFoundError(f"no committed snapshot for sink {sink!r}")

@@ -112,7 +112,7 @@ class _FakeCatalogStore(iceberg.IcebergStore):
         log = [{"snapshot_id": sid, "summary": summary}] + self._load_log(sink)
         with open(self._log_path(sink), "w") as fh:
             json.dump(log, fh)
-        return sid
+        return sid, summary
 
     def _snapshots(self, sink):
         return [(e["snapshot_id"], e["summary"]) for e in self._load_log(sink)]
@@ -148,7 +148,13 @@ def fake_catalog(spark, tmp_path, monkeypatch):
     for sink in ("parsed_turns", "templates", "hourly_rollup", "error_rates",
                  "route_errors", "alerts", "_manifest"):
         os.makedirs(store._dir(sink), exist_ok=True)
-    monkeypatch.setattr(iceberg, "snapshot_store", lambda *_a, **_k: store)
+    def dispatch(spark_, root_, namespace=None):
+        # Respect the dispatch contract: only a configured namespace selects
+        # the (fake) catalog backend; namespace-less callers get the REAL
+        # parquet store so cross-backend comparisons actually cross backends.
+        return store if namespace else SnapshotStore(spark_, root_)
+
+    monkeypatch.setattr(iceberg, "snapshot_store", dispatch)
     return store
 
 

@@ -353,6 +353,13 @@ def test_ttl_cutoff_validated_before_any_delete(spark, tmp_path):
     store.expire("parsed", "ts", "2024-02-05T00:00:00+02:00")
     assert months() == ["month=2024-02"]
 
+    # Boundary: '2024-03-01T01:00:00+02:00' is 2024-02-29T23:00 UTC — month
+    # 2024-02 in the DATA's frame. Taking the cutoff's local month (2024-03)
+    # would delete February rows NEWER than the cutoff instant; the
+    # normalization must convert to UTC first and keep the partition.
+    store.expire("parsed", "ts", "2024-03-01T01:00:00+02:00")
+    assert months() == ["month=2024-02"]
+
 
 def test_append_style_tag_blocks_keep_last_pruning(spark, transcripts, tmp_path):
     """ADVICE r3: a sink whose commits are tagged append_style must never

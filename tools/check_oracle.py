@@ -42,9 +42,13 @@ def norm_df(pdf: pd.DataFrame) -> list[tuple]:
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]")
+            return 2
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results: dict[str, dict] = {}
