@@ -4,10 +4,12 @@ the suite's proven operators:
 
   stage 1 EXACT DEDUP    keep min(id) per normalized text (dedup.exact_dedup:
                          the shuffle moves 8-byte hashes, not documents)
-  stage 2 NEAR-DUP DROP  minhash-LSH candidates → exact-Jaccard verify ≥ t
-                         (dedup.minhash_lsh_candidates + ngram_jaccard_pairs,
-                         candidates pruned BEFORE the shingle self-join) →
-                         drop every doc with a verified near-dup of smaller
+  stage 2 NEAR-DUP DROP  pluggable strategy (``near_dup=``): minhash-LSH
+                         candidates → exact-Jaccard verify ≥ t (default;
+                         candidates pruned BEFORE the shingle self-join), or
+                         simhash hamming ≤ k band join, or embedding-cosine
+                         via banded hyperplane LSH + exact verify → drop
+                         every doc with a verified near-dup of smaller
                          id. Keep-smallest pair rule: deterministic with no
                          union-find/iteration; a chain a<b<c with edges
                          (a,b),(b,c) keeps only a — more aggressive than
@@ -42,6 +44,11 @@ def curate_corpus(
     min_quality: float = 0.0,
     langs: tuple[str, ...] | None = None,
     persist_intermediate: bool = True,
+    near_dup: str = "jaccard",
+    simhash_k: int = 3,
+    simhash_bands: int = 4,
+    embedding_dim: int = 64,
+    embedding_threshold: float = 0.9,
 ) -> DataFrame:
     """Curated corpus: input columns plus (lang, quality, n_tokens).
 
@@ -76,13 +83,39 @@ def curate_corpus(
     if persist_intermediate:
         survivors = survivors.persist()
 
-    cand = dedup.minhash_lsh_candidates(
-        survivors, id_col, text_col, k=minhash_k, bands=minhash_bands, shingle_n=shingle_n
-    )
-    verified = dedup.ngram_jaccard_pairs(
-        survivors, id_col, text_col,
-        n=shingle_n, threshold=jaccard_threshold, candidates=cand,
-    )
+    # Stage-2 strategy is pluggable — all three emit (id_a < id_b) pairs and
+    # share the keep-smallest drop rule, so they swap without changing the
+    # funnel's semantics, only its notion of "near":
+    #   jaccard   — shingle-overlap (the default; catches edits/insertions)
+    #   simhash   — hamming ≤ k over 64-bit token fingerprints (cheapest:
+    #               one groupBy + a 4-band join of 3-long rows; catches
+    #               small token-multiset changes)
+    #   embedding — cosine over hashing-trick vectors via banded hyperplane
+    #               LSH + exact verify (catches token-frequency similarity
+    #               regardless of order; swap in a learned embedder via
+    #               operators/embed for semantic paraphrases)
+    if near_dup == "jaccard":
+        cand = dedup.minhash_lsh_candidates(
+            survivors, id_col, text_col, k=minhash_k, bands=minhash_bands, shingle_n=shingle_n
+        )
+        verified = dedup.ngram_jaccard_pairs(
+            survivors, id_col, text_col,
+            n=shingle_n, threshold=jaccard_threshold, candidates=cand,
+        )
+    elif near_dup == "simhash":
+        verified = dedup.simhash_near_dup_pairs(
+            survivors, id_col, text_col, k=simhash_k, bands=simhash_bands
+        )
+    elif near_dup == "embedding":
+        from .embed import hashing_embedding_table
+
+        emb = hashing_embedding_table(survivors, id_col=id_col, text_col=text_col,
+                                      dim=embedding_dim)
+        verified = dedup.embedding_near_dups(
+            emb, id_col=id_col, threshold=embedding_threshold, dim=embedding_dim
+        )
+    else:
+        raise ValueError(f"near_dup must be jaccard|simhash|embedding, got {near_dup!r}")
     near_dup_drop = verified.select(F.col("id_b").alias(id_col)).distinct()
     survivors = survivors.join(near_dup_drop, id_col, "left_anti")
 

@@ -636,3 +636,38 @@ def test_ivf_topk_recall_and_laziness(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert marker not in plan
+
+
+def test_curate_near_dup_strategies(spark):
+    """Stage 2 of the curation funnel is pluggable: the simhash and
+    embedding strategies drop their notion of near-dup through the SAME
+    keep-smallest rule, the default stays byte-identical to 'jaccard', and
+    an unknown strategy raises before any job runs."""
+    from log_parser_mind_spark.operators import curate
+
+    base = " ".join(f"tok{i}" for i in range(40))  # long doc: one appended
+    # token shifts only a few simhash bits (short docs flip too many)
+    rows = [
+        (0, base),
+        (1, base + " lambda"),               # near-dup of 0 (token appended)
+        (2, "completely different text with none of those other tokens here"),
+        (3, base),                           # exact dup of 0 (stage-1 drop)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ids(**kw):
+        return sorted(
+            r.doc_id for r in curate.curate_corpus(
+                docs, persist_intermediate=False, **kw
+            ).select("doc_id").collect()
+        )
+
+    assert ids() == ids(near_dup="jaccard") == [0, 2]
+    # One appended token flips ~6 of 64 bits at this doc length, so widen
+    # the dial to hamming<=6 (8 bands keep the pigeonhole guarantee).
+    assert ids(near_dup="simhash", simhash_k=6, simhash_bands=8) == [0, 2]
+    assert ids(near_dup="embedding", embedding_threshold=0.9) == [0, 2]
+    # A lax threshold keeps the near-dup — the strategy dial actually dials.
+    assert 1 in ids(near_dup="embedding", embedding_threshold=0.999)
+    with pytest.raises(ValueError, match="near_dup"):
+        curate.curate_corpus(docs, near_dup="bogus")
