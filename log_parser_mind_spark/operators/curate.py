@@ -67,6 +67,9 @@ def curate_corpus(
         candidate set (1-(1-0.3)³² ≈ 1 at s=0.3), which measured effectively
         all-pairs on a 16×-replicated 80k-doc notch. Correctness
         configuration for oracle checks at small SF; never the 100 TB one."""
+    if near_dup not in ("jaccard", "simhash", "embedding"):
+        # Fail before stage 1 registers a persist() cache entry.
+        raise ValueError(f"near_dup must be jaccard|simhash|embedding, got {near_dup!r}")
     exact_keep = dedup.exact_dedup(docs, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
@@ -114,8 +117,8 @@ def curate_corpus(
         verified = dedup.embedding_near_dups(
             emb, id_col=id_col, threshold=embedding_threshold, dim=embedding_dim
         )
-    else:
-        raise ValueError(f"near_dup must be jaccard|simhash|embedding, got {near_dup!r}")
+    else:  # pragma: no cover — rejected above before any plan is built
+        raise AssertionError(near_dup)
     near_dup_drop = verified.select(F.col("id_b").alias(id_col)).distinct()
     survivors = survivors.join(near_dup_drop, id_col, "left_anti")
 

@@ -247,8 +247,20 @@ def _ivf_fit(
                 for ci, c in enumerate(cents)
             ]
         )
+        # try_divide + coalesce: a zero-norm vector (hashing_embedding_table
+        # emits them for token-less docs) or a collapsed zero centroid makes
+        # cosine undefined — under Spark 4's default ANSI mode a raw division
+        # would throw DIVIDE_BY_ZERO mid-fit. Undefined pairs score -2.0
+        # (below any real cosine), so zero vectors still assign
+        # deterministically (max struct → highest cid among the ties).
         best = F.array_max(
-            F.transform(arr, lambda s: F.struct((s["dot"] / s["nn"]).alias("cos"), s["cid"].alias("cid")))
+            F.transform(
+                arr,
+                lambda s: F.struct(
+                    F.coalesce(F.try_divide(s["dot"], s["nn"]), F.lit(-2.0)).alias("cos"),
+                    s["cid"].alias("cid"),
+                ),
+            )
         )
         return df.select(id_col, vec_col, best["cid"].alias("centroid_id"))
 
@@ -306,9 +318,17 @@ def ivf_topk(
     Reference parity: the reference's Qdrant store (vector_store.go) does
     exact search over its collection; this adds the bounded-probe variant a
     100 TB corpus needs while ``brute_force_topk`` keeps exact parity."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     assigned, centroids = _ivf_fit(
         corpus, n_centroids, iterations, id_col, vec_col, dim
     )
+    # The fit can collapse below n_centroids lists (duplicate-heavy corpora:
+    # duplicate init vectors tie every assignment to one cid and empty lists
+    # are dropped). slice(-start) past the array length silently yields []
+    # in Spark — clamping keeps every query probing ALL surviving lists
+    # instead of silently matching nothing.
+    n_probe = min(n_probe, len(centroids))
     cent_structs = F.array(
         *[
             F.struct(
@@ -332,7 +352,12 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
     )
-    scored = probes.join(cand, "centroid_id").select(
+    # Broadcast the query-probe side: centroid_id has at most n_centroids
+    # distinct values, so a shuffle join would hash the WHOLE corpus into
+    # ≤ n_centroids partition groups (parallelism collapse + list-size skew).
+    # Broadcasting keeps the corpus un-shuffled — the same rule
+    # brute_force_topk/lsh_topk follow for their query sides.
+    scored = F.broadcast(probes).join(cand, "centroid_id").select(
         "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -671,3 +671,47 @@ def test_curate_near_dup_strategies(spark):
     assert 1 in ids(near_dup="embedding", embedding_threshold=0.999)
     with pytest.raises(ValueError, match="near_dup"):
         curate.curate_corpus(docs, near_dup="bogus")
+
+
+def test_ivf_topk_degenerate_corpora(spark):
+    """Review findings (r4): a duplicate-heavy corpus collapses the k-means
+    fit below n_centroids — n_probe must clamp to the surviving lists
+    instead of slice() silently emitting zero results; and zero-norm vectors
+    (hashing_embedding_table emits them for token-less docs) must not crash
+    the fit under ANSI mode."""
+    dup = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.ivf_topk(
+        dup.filter("vec_id < 2"), dup.filter("vec_id >= 2"),
+        k=3, n_centroids=4, n_probe=2, dim=4,
+    ).collect()
+    assert len(got) == 6  # 2 queries × top-3, none silently dropped
+
+    withzero = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.ivf_topk(
+        withzero.filter("vec_id = 0"), withzero.filter("vec_id > 0"),
+        k=1, n_centroids=2, n_probe=2, dim=2,
+    ).collect()  # no DIVIDE_BY_ZERO; zero vector assigns deterministically
+    assert rows and rows[0].neighbor_id == 3
+
+    with pytest.raises(ValueError, match="n_probe"):
+        similarity.ivf_topk(dup, dup, n_probe=0, dim=4)
+
+
+def test_ivf_topk_broadcasts_probes_not_corpus(spark):
+    """The search join's key (centroid_id) has ≤ n_centroids distinct values
+    — the probe side must broadcast or the whole corpus shuffles into
+    ≤ n_centroids hash groups."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    df = similarity.ivf_topk(emb.filter("vec_id < 3"), emb.filter("vec_id >= 3"),
+                             k=2, n_centroids=4, n_probe=2, dim=4)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
