@@ -980,6 +980,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_user_sessions(spark, sf_dir):
+    """W-family extension — gap-timeout sessionization over the event stream
+    (operators/sessionize.conversation_sessions: lag gap detection + running
+    boundary sum + per-session aggregate, ONE conv-keyed shuffle for the
+    whole plan). 30-minute gap, event_id tiebreak. The streaming analog
+    (applyInPandasWithState) is tested to converge to this in
+    tests/test_sessionize.py."""
+    from log_parser_mind_spark.operators.sessionize import conversation_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    s = conversation_sessions(
+        ev, gap_minutes=30, conv_col="user_id", ts_col="ts", tiebreak_col="event_id"
+    )
+    return s.select(
+        "user_id", "session_idx", "n_turns", "start_ts", "end_ts",
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
+_ORACLE_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_turns,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec
+FROM sid GROUP BY user_id, session_idx
+"""
+
+
 def q_error_rates_events(spark, sf_dir):
     """A3 shape: per-minute countIf over the event stream."""
     ev = _t(spark, sf_dir, "events")
@@ -1498,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregates
         "global_stats_events": q_global_stats_events,
         "hourly_rollup_events": q_hourly_rollup_events,
+        "user_sessions": q_user_sessions,
         "error_rates_events": q_error_rates_events,
         "topk_users": q_topk_users,
         "two_stage_rollup": q_two_stage_rollup,
@@ -1584,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _ORACLE_JSON_EXTRACT,
         "global_stats_events": _ORACLE_GLOBAL_STATS_EVENTS,
         "hourly_rollup_events": _ORACLE_HOURLY_ROLLUP_EVENTS,
+        "user_sessions": _ORACLE_USER_SESSIONS,
         "error_rates_events": _ORACLE_ERROR_RATES_EVENTS,
         "topk_users": _ORACLE_TOPK_USERS,
         "two_stage_rollup": _ORACLE_TWO_STAGE_ROLLUP,

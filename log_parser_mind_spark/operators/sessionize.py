@@ -1,0 +1,174 @@
+"""Gap-timeout sessionization over conversation turns (W-family extension).
+
+The reference models conversations as static groups (conv_id); a
+training-data pipeline over chat/agent logs additionally needs SESSIONS —
+maximal runs of turns where consecutive gaps stay under a timeout — for
+per-session sampling, context-window packing, and engagement analytics.
+Two implementations with identical semantics:
+
+  batch      ``conversation_sessions``: lag() gap detection + a running sum
+             of boundary flags (the standard SQL idiom, so the contract
+             query has a real DuckDB oracle), then one groupBy per session.
+             Scale shape: both window functions partition by conv_id — ONE
+             shuffle by conv_id for the whole plan, and the session groupBy
+             reuses that partitioning (no second exchange; turns of one
+             conversation are colocated by definition).
+
+  streaming  ``sessionize_stream``: applyInPandasWithState keyed by conv_id
+             — the arbitrary-stateful-operator path (T-family) for live
+             session feeds. State = the OPEN session's aggregate; a turn
+             arriving within ``gap`` extends it, otherwise the closed
+             session is emitted and the state restarts. Event-time timeout
+             (watermark-driven) closes idle sessions. Output rows appear
+             only when a session CLOSES, so the stream converges to the
+             batch result for every session whose gap has elapsed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def conversation_sessions(
+    transcripts: DataFrame,
+    gap_minutes: float = 30.0,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+) -> DataFrame:
+    """One row per (conversation, session): turn count, bounds, duration.
+
+    A session breaks where the gap from the previous turn exceeds
+    ``gap_minutes`` (strictly greater — an exactly-gap-sized pause still
+    chains, matching the common analytics definition). session_idx is
+    0-based in time order within the conversation. Deterministic tie-break:
+    rows are ordered by (ts, tiebreak_col) so equal timestamps cannot
+    reorder between runs (pass event_id etc. for non-transcript inputs)."""
+    gap_sec = F.lit(float(gap_minutes) * 60.0)
+    w = Window.partitionBy(conv_col).orderBy(ts_col, tiebreak_col)
+    # via TIMESTAMP: NTZ inputs (e.g. the events table) cannot cast straight
+    # to double; in the pinned-UTC session the hop is value-preserving.
+    ts_sec = F.col(ts_col).cast("timestamp").cast("double")
+    with_break = transcripts.withColumn(
+        "_new_session",
+        F.when(
+            F.lag(ts_sec).over(w).isNull()
+            | ((ts_sec - F.lag(ts_sec).over(w)) > gap_sec),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # Running sum of boundaries = session ordinal; reuses the SAME window
+    # partitioning, so Catalyst plans one exchange for both functions.
+    with_sid = with_break.withColumn(
+        "session_idx", F.sum("_new_session").over(w) - F.lit(1)
+    )
+    return (
+        with_sid.groupBy(conv_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+        )
+        .select(
+            conv_col,
+            F.col("session_idx").cast("long").alias("session_idx"),
+            F.col("n_turns").cast("long").alias("n_turns"),
+            "start_ts",
+            "end_ts",
+            (
+                F.col("end_ts").cast("timestamp").cast("double")
+                - F.col("start_ts").cast("timestamp").cast("double")
+            ).alias("duration_sec"),
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = (
+    "session_idx long, n_turns long, start_sec double, end_sec double"
+)
+SESSION_OUT_SCHEMA = (
+    "conv_id string, session_idx long, n_turns long, "
+    "start_ts timestamp, end_ts timestamp, duration_sec double"
+)
+
+
+def sessionize_stream(
+    transcripts: DataFrame,
+    gap_minutes: float = 30.0,
+    watermark: str = "10 minutes",
+):
+    """T-family arbitrary stateful op: per-conversation open-session state,
+    sessions emitted on CLOSE (gap exceeded by a newer turn, or event-time
+    timeout once the watermark passes the open session's deadline).
+
+    State is one 4-field row per ACTIVE conversation — bounded by live
+    conversations, not history; closed sessions leave the store. At scale
+    the state store shards by conv_id exactly like the batch shuffle."""
+    import pandas as pd
+
+    gap_sec = float(gap_minutes) * 60.0
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        out = []
+
+        def emit(sidx, n, start_sec, end_sec):
+            out.append(
+                (
+                    conv_id,
+                    int(sidx),
+                    int(n),
+                    pd.Timestamp(start_sec, unit="s"),
+                    pd.Timestamp(end_sec, unit="s"),
+                    float(end_sec - start_sec),
+                )
+            )
+
+        if state.hasTimedOut:
+            sidx, n, start_sec, end_sec = state.get
+            emit(sidx, n, start_sec, end_sec)
+            state.remove()
+        else:
+            if state.exists:
+                sidx, n, start_sec, end_sec = state.get
+            else:
+                sidx, n, start_sec, end_sec = -1, 0, 0.0, 0.0
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            # astype through ns explicitly: arrow may hand us datetime64[us],
+            # where a bare int64 view would be off by 1000×.
+            rows["_sec"] = rows["ts"].astype("datetime64[ns]").astype("int64") / 1e9
+            rows = rows.sort_values(["_sec", "turn_idx"])
+            for sec in rows["_sec"]:
+                if n == 0:
+                    sidx, n, start_sec, end_sec = sidx + 1, 1, sec, sec
+                elif sec - end_sec > gap_sec:
+                    emit(sidx, n, start_sec, end_sec)
+                    sidx, n, start_sec, end_sec = sidx + 1, 1, sec, sec
+                else:
+                    n, end_sec = n + 1, sec
+            state.update((int(sidx), int(n), float(start_sec), float(end_sec)))
+            # Close the open session once event time passes its deadline.
+            # Spark rejects timeouts at/behind the current watermark — a
+            # deadline already passed (bulk availableNow replay) clamps to
+            # watermark+1ms and fires on the next trigger.
+            deadline_ms = int((end_sec + gap_sec) * 1000)
+            state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "conv_id", "session_idx", "n_turns",
+                "start_ts", "end_ts", "duration_sec",
+            ],
+        )
+
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -1,0 +1,112 @@
+"""Gap-timeout sessionization: batch (lag + running-sum, SQL-oracle-able)
+and the applyInPandasWithState streaming variant converge on closed
+sessions; the batch plan shuffles ONCE on conv_id.
+"""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_parser_mind_spark.operators import sessionize
+
+
+def _tr(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+@pytest.fixture(scope="module")
+def gapped(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    # c1: turns at 0,5,10 min → session 0; 45,46 min (gap 35) → session 1
+    for i, mins in enumerate((0, 5, 10, 45, 46)):
+        rows.append(("c1", i, "user", f"t{i}", "none", t0 + mins * m))
+    # c2: single turn → one 1-turn session
+    rows.append(("c2", 0, "user", "solo", "none", t0))
+    # c3: gap exactly 30 min chains (strictly-greater break rule)
+    rows.append(("c3", 0, "user", "a", "none", t0))
+    rows.append(("c3", 1, "user", "b", "none", t0 + 30 * m))
+    return _tr(spark, rows)
+
+
+def test_batch_sessions(spark, gapped):
+    got = {
+        (r.conv_id, r.session_idx): (r.n_turns, r.duration_sec)
+        for r in sessionize.conversation_sessions(gapped, gap_minutes=30).collect()
+    }
+    assert got == {
+        ("c1", 0): (3, 600.0),
+        ("c1", 1): (2, 60.0),
+        ("c2", 0): (1, 0.0),
+        ("c3", 0): (2, 1800.0),
+    }
+
+
+def test_batch_plan_single_exchange(spark, gapped):
+    """lag, running sum, and the session groupBy must share ONE conv_id
+    shuffle — a second exchange would double the network cost of the
+    dominant stage at 100 TB."""
+    import re
+
+    df = sessionize.conversation_sessions(gapped)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_streaming_matches_batch_on_closed_sessions(spark, gapped, tmp_path):
+    """Stateful streaming sessionization: emitted sessions are byte-equal to
+    their batch counterparts, sessions closed BY DATA emit immediately, and
+    the per-conversation state survives a query RESTART (second availableNow
+    run over the same checkpoint closes a first-run session with a new
+    turn). The file source replays event-time-ordered batches (one file per
+    run) — the operator's in-order contract; out-of-order arrival is the
+    watermark's job, not the state machine's."""
+    import datetime as dt
+
+    from log_parser_mind_spark.schemas import TRANSCRIPTS
+
+    path = str(tmp_path / "in")
+    gapped.repartition(1).write.mode("append").parquet(path)
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # parquet sink, not memory: the memory sink refuses checkpoint
+        # recovery, and the restart leg below is the point of this test.
+        stream = spark.readStream.schema(TRANSCRIPTS).parquet(path)
+        q = (
+            sessionize.sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.conv_id, r.session_idx): (r.n_turns, r.start_ts, r.end_ts, r.duration_sec)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got = run()
+    batch = {
+        (r.conv_id, r.session_idx): (r.n_turns, r.start_ts, r.end_ts, r.duration_sec)
+        for r in sessionize.conversation_sessions(gapped, gap_minutes=30).collect()
+    }
+    for k, v in got.items():  # emitted ⊆ batch, value-equal
+        assert batch[k] == v, k
+    assert ("c1", 0) in got  # closed by data (the 35-min gap) → emitted
+
+    # Restart: a new file with a much later c2 turn. Restored state must
+    # close c2's 12:00 one-turn session exactly as the batch run would.
+    late = _tr(spark, [("c2", 1, "user", "back", "none",
+                        dt.datetime(2024, 1, 1, 14, 0, 0))])
+    late.repartition(1).write.mode("append").parquet(path)
+    got2 = run()
+    assert got2[("c2", 0)] == batch[("c2", 0)]
