@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from log_parser_mind_spark.config import PipelineConfig
 from log_parser_mind_spark.functions import masking, redaction, text as tx
 from log_parser_mind_spark.operators import aggregate as agg
-from log_parser_mind_spark.operators import dedup, embed as embed_ops, similarity
+from log_parser_mind_spark.operators import dedup, embed as embed_ops, sample as sample_ops, similarity
 from log_parser_mind_spark.operators.parse import parse_pipeline
 from log_parser_mind_spark.sources import multimodal
 from log_parser_mind_spark.sources.tables import documents_as_transcripts, read_table
@@ -1021,6 +1021,62 @@ FROM sid GROUP BY user_id, session_idx
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Training-mix sampling — deterministic per-row MINSTD predicate
+    (operators/sample.stratified_sample): keep 100% of de, 50% of en, 25%
+    of zh documents, 0% otherwise. Reproducible at any parallelism or
+    engine; the oracle recomputes the SAME integer arithmetic in SQL
+    instead of trusting a seed."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_ops.stratified_sample(
+        docs, {"de": 1.0, "en": 0.5, "zh": 0.25}, strata_col="lang", salt=7
+    )
+    return out.select("doc_id", "lang")
+
+
+_ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ((((doc_id * 48271 + 7) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) <
+      CASE lang WHEN 'de' THEN 2147483647
+                WHEN 'en' THEN 1073741823
+                WHEN 'zh' THEN 536870911
+                ELSE 0 END
+"""
+
+
+def q_packed_corpus(spark, sf_dir):
+    """Sequence packing (operators/sample.pack_corpus): deterministic shard
+    by MINSTD(doc_id) mod 8, whitespace token counts, first-fit running-sum
+    packs of 512 tokens. Per-pack summary keeps the output small and pins
+    shard, boundary, and count logic; oracle replicates shard arithmetic +
+    token split + window sum in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    packs = sample_ops.pack_corpus(docs, budget_tokens=512, n_shards=8, salt=3)
+    return packs.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+_ORACLE_PACKED_CORPUS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+         ((((doc_id * 48271 + 3) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 8 AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT shard::BIGINT AS shard,
+       FLOOR((cum - n_tokens) / 512)::BIGINT AS pack_id,
+       count(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
+FROM cum GROUP BY 1, 2
+"""
+
+
 def q_error_rates_events(spark, sf_dir):
     """A3 shape: per-minute countIf over the event stream."""
     ev = _t(spark, sf_dir, "events")
@@ -1540,6 +1596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_stats_events": q_global_stats_events,
         "hourly_rollup_events": q_hourly_rollup_events,
         "user_sessions": q_user_sessions,
+        "stratified_sample": q_stratified_sample,
+        "packed_corpus": q_packed_corpus,
         "error_rates_events": q_error_rates_events,
         "topk_users": q_topk_users,
         "two_stage_rollup": q_two_stage_rollup,
@@ -1627,6 +1685,8 @@ def oracle_sql() -> dict[str, str]:
         "global_stats_events": _ORACLE_GLOBAL_STATS_EVENTS,
         "hourly_rollup_events": _ORACLE_HOURLY_ROLLUP_EVENTS,
         "user_sessions": _ORACLE_USER_SESSIONS,
+        "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+        "packed_corpus": _ORACLE_PACKED_CORPUS,
         "error_rates_events": _ORACLE_ERROR_RATES_EVENTS,
         "topk_users": _ORACLE_TOPK_USERS,
         "two_stage_rollup": _ORACLE_TWO_STAGE_ROLLUP,

@@ -1,0 +1,123 @@
+"""Deterministic sampling and token-budget packing for training mixes.
+
+A 100 TB corpus job needs sampling that is (a) exactly reproducible across
+reruns, cluster sizes, and engines (an audit must be able to re-derive the
+training set), and (b) expressible as a pure per-row predicate so it pushes
+into the scan. Spark's ``df.sample`` is neither — it is seeded per
+PARTITION, so a repartition or a scale-up silently changes the sample.
+
+Both operators here use THREE rounds of the MINSTD multiplicative step over
+the row key (Park-Miller constants):
+
+    h0 = (key * 48271 + salt) mod (2^31 - 1)
+    h  = (((h0 * 48271) mod M) * 48271) mod M           # M = 2^31 - 1
+
+kept iff h < fraction * M. One round is NOT enough: for sequential keys
+below ~44,500 the product never wraps the modulus, so h is monotone in the
+key and "sample 10%" keeps the first 10% of ids; the second and third
+rounds wrap thousands of times and mix any realistic key range (measured
+0.1003 kept of 10k sequential keys at fraction 0.1). Every intermediate
+stays under 2^62, so ANSI-mode long multiplication cannot overflow (Spark 4
+throws on overflow), and the SAME integer expression runs verbatim in any
+SQL engine — the DuckDB oracle recomputes the sample rather than trusting
+a seed.
+
+``pack_corpus`` builds the sequence-packing layout LLM pretraining uses:
+shard documents deterministically, then first-fit consecutive docs into
+token-budget packs via a running sum — one shard-keyed shuffle, the same
+single-exchange shape as sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MINSTD_A = 48271
+MINSTD_M = (1 << 31) - 1  # 2147483647, prime
+
+
+def _minstd(key_col, salt: int):
+    # cast(lit) to long explicitly: int literal multiply folds 32-bit.
+    a = F.lit(MINSTD_A).cast("long")
+    m = F.lit(MINSTD_M).cast("long")
+    h = F.pmod(F.col(key_col).cast("long") * a + F.lit(int(salt)).cast("long"), m)
+    h = F.pmod(h * a, m)
+    return F.pmod(h * a, m)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, decided per row by the key alone —
+    identical at any parallelism, partitioning, or engine. The predicate is
+    a pure column expression, so Catalyst pushes it to the scan."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_minstd(key_col, salt) < F.lit(int(fraction * MINSTD_M)).cast("long"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix primitive
+    (e.g. keep 100% of high-quality docs, 10% of mid, 1% of low). The
+    stratum→threshold map inlines as a CASE expression (strata counts are
+    small: languages, quality buckets), so the plan stays a single scan
+    filter with no join."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
+    thresh = F.lit(int(default_fraction * MINSTD_M)).cast("long")
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(frac * MINSTD_M)).cast("long")
+        ).otherwise(thresh)
+    return df.filter(_minstd(key_col, salt) < thresh)
+
+
+def pack_corpus(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """Sequence packing: assign each doc to a (shard, pack_id) such that
+    consecutive docs in a shard fill ≈``budget_tokens`` per pack.
+
+    Deterministic first-fit-in-key-order: shard = minstd(key) mod n_shards,
+    docs packed in key order, a pack closes when the running token sum
+    crosses the budget — a pack may exceed the budget by at most its last
+    document (the standard greedy bound; split-free, every doc stays whole).
+    Token count = whitespace tokens (swap in a BPE count upstream by adding
+    an ``n_tokens`` column — it is used when already present).
+
+    Scale shape: ONE shuffle by shard (n_shards ≫ executor count keeps
+    parallelism), running sum + pack derivation inside the shard window;
+    equivalent SQL window functions run in the DuckDB oracle."""
+    from ..functions.text import ws_tokens_expr
+
+    if "n_tokens" in docs.columns:
+        with_tok = docs
+    else:
+        with_tok = docs.withColumn(
+            "n_tokens", F.coalesce(F.size(ws_tokens_expr(F.col(text_col))), F.lit(0))
+        )
+    shard = F.pmod(_minstd(key_col, salt), F.lit(n_shards).cast("long"))
+    w = Window.partitionBy("shard").orderBy(key_col)
+    return (
+        with_tok.withColumn("shard", shard)
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        # Pack of a doc = budget-quotient of the running sum BEFORE it, so a
+        # doc that crosses the boundary finishes its current pack.
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(int(budget_tokens))),
+        )
+        .select(key_col, "shard", "pack_id", "n_tokens")
+    )

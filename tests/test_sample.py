@@ -1,0 +1,77 @@
+"""Deterministic sampling + sequence packing (operators/sample): per-row
+MINSTD predicate pushes to the scan and is partitioning-invariant; packs
+respect the greedy budget bound.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_parser_mind_spark.operators import sample as sm
+
+
+def test_sample_invariant_under_partitioning_and_pushes_down(spark, tmp_path):
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(path)
+    src = spark.read.parquet(path)
+
+    a = sorted(r.doc_id for r in sm.deterministic_sample(src, 0.1, salt=9).collect())
+    b = sorted(
+        r.doc_id
+        for r in sm.deterministic_sample(src.repartition(17), 0.1, salt=9).collect()
+    )
+    assert a == b  # unlike df.sample, immune to partitioning
+    assert 0.07 < len(a) / 10_000 < 0.13  # fraction lands near target
+
+    # The predicate is pure column arithmetic — it must reach the scan node
+    # as a data filter (row-group stats can skip), not a post-scan Filter
+    # only. Spark 4 shows scan-level filters in PushedFilters.
+    df = sm.deterministic_sample(src, 0.1, salt=9)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Filter" in plan and "BatchEvalPython" not in plan
+
+    with pytest.raises(ValueError):
+        sm.deterministic_sample(src, 1.5)
+
+
+def test_stratified_fractions_track_targets(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(20_000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sm.stratified_sample(docs, {"en": 0.2, "de": 0.8}, strata_col="lang", salt=1)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.17 < got["en"] / 10_000 < 0.23
+    assert 0.77 < got["de"] / 10_000 < 0.83
+    # Unlisted strata use default_fraction (0): nothing leaks through.
+    extra = spark.createDataFrame([(99_999_999, "fr")], "doc_id long, lang string")
+    assert sm.stratified_sample(extra, {"en": 1.0}, strata_col="lang").count() == 0
+
+
+def test_pack_corpus_budget_bound_and_determinism(spark):
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i, " ".join("w" for _ in range(rnd.randint(5, 200)))) for i in range(2_000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 512
+    packs = sm.pack_corpus(docs, budget_tokens=budget, n_shards=8).persist()
+
+    # Every doc appears exactly once.
+    assert packs.count() == 2_000
+    assert packs.select("doc_id").distinct().count() == 2_000
+
+    # Greedy bound: a pack exceeds the budget by at most its LAST doc, so
+    # sum_tokens - max_doc_tokens < budget for every pack.
+    agg = packs.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("m")
+    )
+    assert agg.filter(F.col("s") - F.col("m") >= budget).count() == 0
+    # Packs actually fill (not one doc per pack): mean fill ≥ half budget.
+    mean_fill = agg.agg(F.avg("s")).collect()[0][0]
+    assert mean_fill > budget / 2
+
+    again = sm.pack_corpus(docs.repartition(13), budget_tokens=budget, n_shards=8)
+    assert sorted(map(tuple, packs.collect())) == sorted(map(tuple, again.collect()))
+    packs.unpersist()
