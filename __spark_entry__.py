@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from log_parser_mind_spark.config import PipelineConfig
 from log_parser_mind_spark.functions import masking, redaction, text as tx
 from log_parser_mind_spark.operators import aggregate as agg
-from log_parser_mind_spark.operators import dedup, embed as embed_ops, sample as sample_ops, similarity
+from log_parser_mind_spark.operators import asof as asof_ops, dedup, embed as embed_ops, sample as sample_ops, similarity
 from log_parser_mind_spark.operators.parse import parse_pipeline
 from log_parser_mind_spark.sources import multimodal
 from log_parser_mind_spark.sources.tables import documents_as_transcripts, read_table
@@ -1077,6 +1077,78 @@ FROM cum GROUP BY 1, 2
 """
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of join (operators/asof.asof_join — union-merge, ONE shuffle over
+    |L|+|R| rows): each error event picks up the most recent preceding
+    purchase of the same user. DuckDB's native ASOF LEFT JOIN is the exact
+    oracle. (user_id, ts) is unique in the events table, so no tie
+    ambiguity exists at either engine."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    res = asof_ops.asof_join(
+        errors, purchases, key="user_id",
+        right_cols=["purchase_id", "value"], tiebreak_col="purchase_id",
+    )
+    return res.select(
+        "event_id", "user_id", "ts",
+        F.col("purchase_id_asof"),
+        F.round("value_asof", 6).alias("value_asof"),
+    )
+
+
+_ORACLE_ASOF_ENRICH = """
+SELECT e.event_id, e.user_id, e.ts,
+       p.purchase_id AS purchase_id_asof,
+       round(p.value, 6) AS value_asof
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id, value
+                FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def q_events_in_sessions(spark, sf_dir):
+    """Interval join (operators/asof.interval_join): assign every event to
+    the gap-timeout session containing it — sessions partition each user's
+    timeline by construction, so the assignment is total and unique (row
+    count == |events|, verified by the oracle)."""
+    from log_parser_mind_spark.operators.sessionize import conversation_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = conversation_sessions(
+        ev, gap_minutes=30, conv_col="user_id", ts_col="ts", tiebreak_col="event_id"
+    ).select("user_id", "session_idx", "start_ts", "end_ts")
+    res = asof_ops.interval_join(
+        ev.select("event_id", "user_id", "ts"), sessions, key="user_id"
+    )
+    return res.select("event_id", "user_id", "session_idx")
+
+
+_ORACLE_EVENTS_IN_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM sid GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, s.session_idx::BIGINT AS session_idx
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id AND e.ts BETWEEN s.start_ts AND s.end_ts
+"""
+
+
 def q_error_rates_events(spark, sf_dir):
     """A3 shape: per-minute countIf over the event stream."""
     ev = _t(spark, sf_dir, "events")
@@ -1597,6 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup_events": q_hourly_rollup_events,
         "user_sessions": q_user_sessions,
         "stratified_sample": q_stratified_sample,
+        "asof_enrich": q_asof_enrich,
+        "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
         "error_rates_events": q_error_rates_events,
         "topk_users": q_topk_users,
@@ -1686,6 +1760,8 @@ def oracle_sql() -> dict[str, str]:
         "hourly_rollup_events": _ORACLE_HOURLY_ROLLUP_EVENTS,
         "user_sessions": _ORACLE_USER_SESSIONS,
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+        "asof_enrich": _ORACLE_ASOF_ENRICH,
+        "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,
         "error_rates_events": _ORACLE_ERROR_RATES_EVENTS,
         "topk_users": _ORACLE_TOPK_USERS,
