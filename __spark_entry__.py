@@ -1149,6 +1149,54 @@ FROM events e JOIN sessions s
 """
 
 
+def q_decontaminated_corpus(spark, sf_dir):
+    """Benchmark decontamination (curate.decontaminate →
+    dedup.cross_corpus_near_dups): drop every document within 0.7 Jaccard of
+    a synthetic "benchmark" (every 7th doc, re-keyed). Provable-recall LSH
+    config (k=bands=32, unigrams: per-pair miss 0.3³² ≈ 2e-17), so LSH →
+    verify is equal to the exhaustive cross-Jaccard the oracle computes.
+    Contaminated docs include the blocklist members themselves (Jaccard 1)
+    plus any near-copies."""
+    from log_parser_mind_spark.operators.curate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    clean = decontaminate(
+        docs, bench, threshold=0.7, minhash_k=32, minhash_bands=32, shingle_n=1
+    )
+    return clean.select("doc_id", "lang")
+
+
+_ORACLE_DECONTAMINATED = r"""
+WITH bl AS (
+  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+), ctoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+') AS t
+  FROM documents
+), btoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+') AS t
+  FROM bl
+), csh AS (
+  SELECT DISTINCT doc_id, s.shingle FROM ctoks, UNNEST(t) AS s(shingle)
+), bsh AS (
+  SELECT DISTINCT doc_id, s.shingle FROM btoks, UNNEST(t) AS s(shingle)
+), csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+   bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+   inter AS (
+  SELECT c.doc_id AS cid, b.doc_id AS bid, count(*) AS common
+  FROM csh c JOIN bsh b ON c.shingle = b.shingle
+  GROUP BY 1, 2
+), dirty AS (
+  SELECT DISTINCT cid FROM inter
+  JOIN csz ON csz.doc_id = cid JOIN bsz ON bsz.doc_id = bid
+  WHERE common / CAST(csz.n + bsz.n - common AS DOUBLE) >= 0.7
+)
+SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT cid FROM dirty)
+"""
+
+
 def q_error_rates_events(spark, sf_dir):
     """A3 shape: per-minute countIf over the event stream."""
     ev = _t(spark, sf_dir, "events")
@@ -1670,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "stratified_sample": q_stratified_sample,
         "asof_enrich": q_asof_enrich,
+        "decontaminated_corpus": q_decontaminated_corpus,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
         "error_rates_events": q_error_rates_events,
@@ -1761,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": _ORACLE_USER_SESSIONS,
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "asof_enrich": _ORACLE_ASOF_ENRICH,
+        "decontaminated_corpus": _ORACLE_DECONTAMINATED,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,
         "error_rates_events": _ORACLE_ERROR_RATES_EVENTS,

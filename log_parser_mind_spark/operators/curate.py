@@ -150,3 +150,29 @@ def curation_report(docs: DataFrame, curated: DataFrame, id_col: str = "doc_id")
         "avg_quality",
         "total_tokens",
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    minhash_k: int = 32,
+    minhash_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Drop every corpus doc within ``threshold`` shingle-Jaccard of ANY
+    blocklist doc (dedup.cross_corpus_near_dups) — benchmark
+    decontamination for a training corpus. Exact copies are Jaccard 1.0, so
+    a single threshold covers verbatim and near-verbatim contamination.
+    Returns the surviving corpus rows unchanged."""
+    dirty = (
+        dedup.cross_corpus_near_dups(
+            corpus, blocklist, id_col, text_col,
+            threshold=threshold, k=minhash_k, bands=minhash_bands, shingle_n=shingle_n,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dirty, id_col, "left_anti")

@@ -70,7 +70,7 @@ def minhash_signature_expr(shingles, k: int = 32):
     )
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -78,18 +78,16 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing at least one LSH band bucket.
-    band hash = xxhash64 of the band's rows-per-band minhash slice; the
-    self-join runs per (band_idx, band_hash) bucket, so cost is Σ bucket²,
-    not n² — the LSH scale path."""
+    """(id, band_idx, band_hash) LSH band table — the join key both the
+    self-join (``minhash_lsh_candidates``) and the cross-corpus join
+    (``cross_corpus_near_dups``) bucket on. Explode to one row per distinct
+    shingle, then k min-aggregates: the shingle expression evaluates ONCE
+    per row (a nested k-way expression tree would inline it k times —
+    measured 32× slower and a codegen blowup), and groupBy(min) combines
+    map-side, so the shuffle moves one k-wide row per document."""
     if k % bands != 0:
         raise ValueError(f"k ({k}) must be divisible by bands ({bands})")
     rows_per_band = k // bands
-    # Explode to one row per distinct shingle, then k min-aggregates: the
-    # shingle expression evaluates ONCE per row (a nested k-way expression
-    # tree would inline it k times — measured 32× slower and a codegen
-    # blowup), and groupBy(min) combines map-side, so the shuffle moves one
-    # k-wide row per document.
     exploded = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias("shingle"),
@@ -99,7 +97,7 @@ def minhash_lsh_candidates(
             *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))) for i in range(k)]
         ).alias("sig")
     )
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -119,6 +117,21 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+    band hash = xxhash64 of the band's rows-per-band minhash slice; the
+    self-join runs per (band_idx, band_hash) bucket, so cost is Σ bucket²,
+    not n² — the LSH scale path."""
+    banded = minhash_banded(docs, id_col, text_col, k, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -395,3 +408,64 @@ def embedding_near_dups(
     out = pairs.filter(F.col("cosine") >= threshold)
     # a pair sharing several bands matches once per band — dedup after verify
     return out.distinct() if bands > 1 else out
+
+
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination primitive: (corpus_id, block_id, jaccard)
+    for every corpus doc within ``threshold`` shingle-Jaccard of ANY
+    blocklist doc (eval/benchmark sets, licensed text, known-bad pages).
+
+    Same LSH→exact-verify composition as the in-corpus path, but the band
+    join is strictly CORPUS × BLOCKLIST — corpus-internal duplicates are
+    someone else's job (``minhash_lsh_candidates``) and never inflate the
+    buckets here. The verify joins each side's candidate-restricted distinct
+    shingles; blocklist-side tables (candidate ids, shingle sizes) are
+    broadcast — a blocklist is benchmarks, not a second corpus."""
+    cb = minhash_banded(corpus, id_col, text_col, k, bands, shingle_n)
+    bb = minhash_banded(blocklist, id_col, text_col, k, bands, shingle_n)
+    cand = (
+        cb.alias("c")
+        .join(F.broadcast(bb.alias("b")), ["band_idx", "band_hash"])
+        .select(F.col("c.id").alias("corpus_id"), F.col("b.id").alias("block_id"))
+        .distinct()
+    )
+
+    def sh(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(shingles_expr(F.col(text_col), shingle_n))
+            ).alias("shingle"),
+        )
+
+    c_ids = cand.select("corpus_id").distinct()
+    b_ids = cand.select("block_id").distinct()
+    csh = sh(corpus, "corpus_id").join(F.broadcast(c_ids), "corpus_id", "left_semi")
+    bsh = sh(blocklist, "block_id").join(F.broadcast(b_ids), "block_id", "left_semi")
+    inter = (
+        csh.join(bsh, "shingle")
+        .groupBy("corpus_id", "block_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(cand, ["corpus_id", "block_id"], "left_semi")
+    )
+    sa = sh(corpus, "corpus_id").groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sa"))
+    sb = sh(blocklist, "block_id").groupBy("block_id").agg(F.count(F.lit(1)).alias("sb"))
+    return (
+        inter.join(sa, "corpus_id")
+        .join(F.broadcast(sb), "block_id")
+        .select(
+            "corpus_id",
+            "block_id",
+            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -715,3 +715,36 @@ def test_ivf_topk_broadcasts_probes_not_corpus(spark):
                              k=2, n_centroids=4, n_probe=2, dim=4)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_cross_corpus_only(spark):
+    """Decontamination drops verbatim and near-verbatim matches of the
+    blocklist, keeps unrelated docs, and the candidate join is strictly
+    corpus × blocklist — corpus-internal duplicates never show up as pairs
+    (they are minhash_lsh_candidates' job, and would explode the buckets on
+    a dup-heavy corpus)."""
+    from log_parser_mind_spark.operators import curate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),  # internal dup
+            (2, "the quick brown fox jumps over the lazy cat tonight"),  # near bench
+            (3, "completely unrelated content about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.cross_corpus_near_dups(
+        corpus, bench, threshold=0.7, k=32, bands=32, shingle_n=1
+    ).collect()
+    assert all(r.block_id == 100 for r in pairs)  # never corpus-internal
+    assert {r.corpus_id for r in pairs} == {0, 1, 2}
+
+    clean = curate.decontaminate(
+        corpus, bench, threshold=0.7, minhash_k=32, minhash_bands=32, shingle_n=1
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [3]
