@@ -1036,7 +1036,7 @@ def q_stratified_sample(spark, sf_dir):
 
 _ORACLE_STRATIFIED_SAMPLE = """
 SELECT doc_id, lang FROM documents
-WHERE ((((doc_id * 48271 + 7) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) <
+WHERE (((((doc_id % 2147483647) * 48271 + 7) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) <
       CASE lang WHEN 'de' THEN 2147483647
                 WHEN 'en' THEN 1073741823
                 WHEN 'zh' THEN 536870911
@@ -1061,8 +1061,9 @@ def q_packed_corpus(spark, sf_dir):
 _ORACLE_PACKED_CORPUS = r"""
 WITH tok AS (
   SELECT doc_id,
-         len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
-         ((((doc_id * 48271 + 3) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 8 AS shard
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END::BIGINT AS n_tokens,
+         (((((doc_id % 2147483647) * 48271 + 3) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 8 AS shard
   FROM documents
 ), cum AS (
   SELECT doc_id, shard, n_tokens,

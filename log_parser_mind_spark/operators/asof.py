@@ -43,8 +43,13 @@ def asof_join(
     — a right-side tie at the same ts resolves to the LAST under
     (ts, tiebreak_col) ordering, deterministically if ``tiebreak_col`` is
     unique on the right."""
-    right_cols = right_cols or [c for c in right.columns if c not in (key, ts_col)]
+    if right_cols is None:  # explicit [] means "existence probe, no payload"
+        right_cols = [c for c in right.columns if c not in (key, ts_col)]
     ts = F.col(ts_col).cast("timestamp")
+    # Tiebreak keeps its OWN type: casting a string id to long would NULL it
+    # (non-ANSI) or throw (ANSI), silently degrading tie resolution to
+    # shuffle order.
+    tb_type = dict(right.dtypes)[tiebreak_col] if tiebreak_col else "int"
 
     lhs = left.select(
         F.col(key).alias("_k"),
@@ -54,7 +59,7 @@ def asof_join(
         F.lit(None).cast(
             right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
         ).alias("_r"),
-        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
     )
     rhs = right.select(
         F.col(key).alias("_k"),
@@ -64,7 +69,7 @@ def asof_join(
             left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
         ).alias("_l"),
         F.struct(*right_cols).alias("_r"),
-        (F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")).alias("_tb"),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("_tb"),
     )
     w = (
         Window.partitionBy("_k")
@@ -89,11 +94,22 @@ def interval_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     how: str = "inner",
+    suffix: str = "",
 ) -> DataFrame:
     """Assign each event to the interval(s) containing it: equi-join on
     ``key`` with an inclusive ``start <= ts <= end`` range predicate. The
     equi-key keeps it a hash/sort-merge join (range evaluated inside the key
-    group); overlapping intervals yield one row per match."""
+    group); overlapping intervals yield one row per match. Interval columns
+    that would collide with event columns must be disambiguated via
+    ``suffix`` — silent duplicate output names break every downstream
+    select, so a collision without a suffix raises."""
+    iv_cols = [c for c in intervals.columns if c != key]
+    clash = set(events.columns) & {f"{c}{suffix}" for c in iv_cols}
+    if clash:
+        raise ValueError(
+            f"interval columns {sorted(clash)} collide with event columns — "
+            "pass suffix= to disambiguate"
+        )
     joined = events.alias("e").join(
         intervals.alias("i"),
         (F.col(f"e.{key}") == F.col(f"i.{key}"))
@@ -103,5 +119,5 @@ def interval_join(
     )
     return joined.select(
         *[F.col(f"e.{c}") for c in events.columns],
-        *[F.col(f"i.{c}").alias(c) for c in intervals.columns if c != key],
+        *[F.col(f"i.{c}").alias(f"{c}{suffix}") for c in iv_cols],
     )

@@ -457,8 +457,12 @@ def cross_corpus_near_dups(
         .agg(F.count(F.lit(1)).alias("common"))
         .join(cand, ["corpus_id", "block_id"], "left_semi")
     )
-    sa = sh(corpus, "corpus_id").groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sa"))
-    sb = sh(blocklist, "block_id").groupBy("block_id").agg(F.count(F.lit(1)).alias("sb"))
+    # Sizes from the CANDIDATE-RESTRICTED shingle tables (already distinct
+    # per doc): only candidate docs' sizes are ever consumed, and deriving
+    # them from csh/bsh avoids a second full-corpus shingle explode — the
+    # dominant cost at 100 TB would otherwise double.
+    sa = csh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sa"))
+    sb = bsh.groupBy("block_id").agg(F.count(F.lit(1)).alias("sb"))
     return (
         inter.join(sa, "corpus_id")
         .join(F.broadcast(sb), "block_id")

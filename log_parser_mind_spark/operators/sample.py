@@ -7,9 +7,10 @@ into the scan. Spark's ``df.sample`` is neither — it is seeded per
 PARTITION, so a repartition or a scale-up silently changes the sample.
 
 Both operators here use THREE rounds of the MINSTD multiplicative step over
-the row key (Park-Miller constants):
+the row key (Park-Miller constants), reducing the raw key mod M first so a
+64-bit snowflake-style id cannot overflow the first multiply:
 
-    h0 = (key * 48271 + salt) mod (2^31 - 1)
+    h0 = ((key mod M) * 48271 + salt) mod (2^31 - 1)
     h  = (((h0 * 48271) mod M) * 48271) mod M           # M = 2^31 - 1
 
 kept iff h < fraction * M. One round is NOT enough: for sequential keys
@@ -39,7 +40,11 @@ def _minstd(key_col, salt: int):
     # cast(lit) to long explicitly: int literal multiply folds 32-bit.
     a = F.lit(MINSTD_A).cast("long")
     m = F.lit(MINSTD_M).cast("long")
-    h = F.pmod(F.col(key_col).cast("long") * a + F.lit(int(salt)).cast("long"), m)
+    # pmod the RAW key into [0, M) before any multiply: a snowflake-style
+    # 64-bit id (~1e18) times 48271 would overflow long and throw under
+    # ANSI. After the reduction every intermediate is < M * A < 2^47.
+    h = F.pmod(F.col(key_col).cast("long"), m)
+    h = F.pmod(h * a + F.lit(int(salt)).cast("long"), m)
     h = F.pmod(h * a, m)
     return F.pmod(h * a, m)
 
@@ -90,10 +95,15 @@ def pack_corpus(
     """Sequence packing: assign each doc to a (shard, pack_id) such that
     consecutive docs in a shard fill ≈``budget_tokens`` per pack.
 
-    Deterministic first-fit-in-key-order: shard = minstd(key) mod n_shards,
-    docs packed in key order, a pack closes when the running token sum
-    crosses the budget — a pack may exceed the budget by at most its last
-    document (the standard greedy bound; split-free, every doc stays whole).
+    Semantics: BUDGET-GRID packing, the window-function-expressible scheme —
+    shard = minstd(key) mod n_shards, docs taken in key order, and a doc's
+    pack is the budget-quotient of the running token sum BEFORE it. Packs
+    therefore span fixed budget-width slices of the cumulative sum: a pack
+    overflows by at most its last document, and every doc stays whole, but
+    a SINGLE oversized doc (> budget) spans several grid slots, leaving the
+    packs adjacent to it under-filled — unlike stateful first-fit, which a
+    pure window cannot express. Pre-split oversized docs upstream (they
+    exceed the training context anyway) and the two schemes coincide.
     Token count = whitespace tokens (swap in a BPE count upstream by adding
     an ``n_tokens`` column — it is used when already present).
 

@@ -101,9 +101,14 @@ def sessionize_stream(
     sessions emitted on CLOSE (gap exceeded by a newer turn, or event-time
     timeout once the watermark passes the open session's deadline).
 
-    State is one 4-field row per ACTIVE conversation — bounded by live
-    conversations, not history; closed sessions leave the store. At scale
-    the state store shards by conv_id exactly like the batch shuffle."""
+    State is one 4-field row per conversation EVER SEEN (closed sessions
+    leave a counter tombstone so session numbering stays batch-identical —
+    see the timeout branch); at 32 bytes per conversation this is the cheap
+    end of the state-size spectrum. Exact batch convergence additionally
+    requires ``watermark <= gap_minutes``: then any admitted late row lands
+    within the open session's gap window by construction, and the min/max
+    bound updates reproduce the batch result. The state store shards by
+    conv_id exactly like the batch shuffle."""
     import pandas as pd
 
     gap_sec = float(gap_minutes) * 60.0
@@ -126,8 +131,16 @@ def sessionize_stream(
 
         if state.hasTimedOut:
             sidx, n, start_sec, end_sec = state.get
-            emit(sidx, n, start_sec, end_sec)
-            state.remove()
+            if n > 0:
+                emit(sidx, n, start_sec, end_sec)
+            # TOMBSTONE, not remove(): the session counter must survive the
+            # close, or the conversation's next session would restart at
+            # session_idx 0 and collide with the emitted one downstream
+            # (joins keyed on (conv_id, session_idx)). n=0 marks "no open
+            # session"; cost is one 4-field row per conversation ever seen,
+            # the price of batch-identical numbering. No new timeout: a
+            # tombstone has nothing left to emit.
+            state.update((int(sidx), 0, float(end_sec), float(end_sec)))
         else:
             if state.exists:
                 sidx, n, start_sec, end_sec = state.get
@@ -145,7 +158,14 @@ def sessionize_stream(
                     emit(sidx, n, start_sec, end_sec)
                     sidx, n, start_sec, end_sec = sidx + 1, 1, sec, sec
                 else:
-                    n, end_sec = n + 1, sec
+                    # min/max, never assignment: an in-watermark out-of-order
+                    # row (the watermark BOUNDS lateness, it does not reorder)
+                    # must not drag the open session's end backwards — that
+                    # would fake a gap against the next on-time row and split
+                    # a session the batch run keeps whole.
+                    n = n + 1
+                    start_sec = min(start_sec, sec)
+                    end_sec = max(end_sec, sec)
             state.update((int(sidx), int(n), float(start_sec), float(end_sec)))
             # Close the open session once event time passes its deadline.
             # Spark rejects timeouts at/behind the current watermark — a

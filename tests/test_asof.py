@@ -63,3 +63,39 @@ def test_interval_join_assignment(spark):
     outer = asof.interval_join(events, iv, key="user_id", how="left").collect()
     assert len(outer) == 3  # left join keeps gap events with NULL interval
     assert {r.event_id for r in outer if r.session_idx is None} == {2}
+
+
+def test_asof_string_tiebreak_and_existence_probe(spark):
+    """Review r4: a string tiebreak column must keep its type (casting to
+    long nulled it silently → shuffle-order ties); right_cols=[] is an
+    existence probe, not 'all columns'."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(10), "p_a", 1.0), ("u", _ts(10), "p_b", 2.0)],
+        "user_id string, ts timestamp, rid string, value double",
+    )
+    r = asof.asof_join(
+        left, right, key="user_id", right_cols=["rid"], tiebreak_col="rid"
+    ).collect()[0]
+    assert r.rid_asof == "p_b"  # max string id wins the tie, every run
+
+    probe = asof.asof_join(left, right, key="user_id", right_cols=[])
+    assert probe.columns == left.columns  # no payload columns appended
+
+
+def test_interval_join_refuses_silent_column_collision(spark):
+    import pytest
+
+    events = spark.createDataFrame(
+        [(1, "u", _ts(5), "x")], "event_id long, user_id string, ts timestamp, note string"
+    )
+    iv = spark.createDataFrame(
+        [("u", _ts(0), _ts(10), "y")],
+        "user_id string, start_ts timestamp, end_ts timestamp, note string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof.interval_join(events, iv, key="user_id")
+    ok = asof.interval_join(events, iv, key="user_id", suffix="_iv")
+    assert "note_iv" in ok.columns and ok.count() == 1

@@ -75,3 +75,12 @@ def test_pack_corpus_budget_bound_and_determinism(spark):
     again = sm.pack_corpus(docs.repartition(13), budget_tokens=budget, n_shards=8)
     assert sorted(map(tuple, packs.collect())) == sorted(map(tuple, again.collect()))
     packs.unpersist()
+
+
+def test_sample_survives_snowflake_scale_keys(spark):
+    """Review r4: the raw key is reduced mod M BEFORE the first multiply —
+    64-bit snowflake-style ids must not hit ANSI ARITHMETIC_OVERFLOW."""
+    base = 1_200_000_000_000_000_000
+    docs = spark.range(5_000).select((F.col("id") + base).alias("doc_id"))
+    kept = sm.deterministic_sample(docs, 0.2, salt=4).count()
+    assert 0.15 < kept / 5_000 < 0.25

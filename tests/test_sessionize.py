@@ -110,3 +110,48 @@ def test_streaming_matches_batch_on_closed_sessions(spark, gapped, tmp_path):
     late.repartition(1).write.mode("append").parquet(path)
     got2 = run()
     assert got2[("c2", 0)] == batch[("c2", 0)]
+
+
+def test_timeout_tombstone_preserves_session_numbering(spark, tmp_path):
+    """Review r4: an event-time TIMEOUT close must leave the session counter
+    behind (tombstone, not remove) — otherwise the conversation's next
+    session re-emits as (conv, 0) and collides with the closed one."""
+    import datetime as dt
+
+    from log_parser_mind_spark.schemas import TRANSCRIPTS
+
+    path = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        q = (
+            sessionize.sessionize_stream(
+                spark.readStream.schema(TRANSCRIPTS).parquet(path),
+                gap_minutes=30, watermark="1 minute",
+            )
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return {(r.conv_id, r.session_idx): r.n_turns
+                for r in spark.read.parquet(out_dir).collect()}
+
+    def add(rows):
+        _tr(spark, rows).repartition(1).write.mode("append").parquet(path)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)
+    add([("c", 0, "user", "a", "none", t(12, 0))])
+    run()
+    # Other-conv traffic pushes the watermark past c's deadline → c times
+    # out with NO data in the batch (the tombstone branch).
+    add([("other", 0, "user", "x", "none", t(15, 0))])
+    got = run()
+    assert got.get(("c", 0)) == 1  # closed by timeout
+    # c returns: its next session must be 1, not a second (c, 0).
+    add([("c", 1, "user", "b", "none", t(16, 0)),
+         ("c", 2, "user", "c", "none", t(17, 0))])  # 60-min gap closes s1
+    got = run()
+    assert got.get(("c", 1)) == 1
+    assert ("c", 0) in got and len([k for k in got if k[0] == "c"]) == 2
