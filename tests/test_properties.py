@@ -1,0 +1,136 @@
+"""Property-based invariants (hypothesis) over the pure-Python cores and the
+Spark operators' algebraic laws. Each property is the invariant a 100 TB run
+relies on but example tests can only spot-check: mass conservation, subset
+monotonicity, partition totality. Spark-backed properties keep max_examples
+small (each example is a Spark job); pure-Python ones run the default 100.
+"""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from log_parser_mind_spark.operators import sample as sm
+from log_parser_mind_spark.operators.sessionize import conversation_sessions
+
+MINSTD_M = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirror of sample._minstd — pinned here so the property suite
+# detects any drift between the Spark expression and the documented rule.
+# ---------------------------------------------------------------------------
+
+def minstd_py(key: int, salt: int) -> int:
+    h = key % MINSTD_M
+    h = (h * 48271 + salt) % MINSTD_M
+    h = (h * 48271) % MINSTD_M
+    return (h * 48271) % MINSTD_M
+
+
+@given(st.integers(min_value=0, max_value=2**62), st.integers(min_value=0, max_value=10**6))
+def test_minstd_range_and_determinism(key, salt):
+    h = minstd_py(key, salt)
+    assert 0 <= h < MINSTD_M
+    assert h == minstd_py(key, salt)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200, unique=True),
+    st.floats(min_value=0.0, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_sample_subset_monotonicity_pure(keys, f1, f2):
+    """sample(min(f1,f2)) ⊆ sample(max(f1,f2)) — the law that makes
+    fraction tuning safe: raising a stratum's fraction only ADDS docs, so a
+    re-run never invalidates previously selected data."""
+    lo, hi = sorted((f1, f2))
+    kept_lo = {k for k in keys if minstd_py(k, 0) < int(lo * MINSTD_M)}
+    kept_hi = {k for k in keys if minstd_py(k, 0) < int(hi * MINSTD_M)}
+    assert kept_lo <= kept_hi
+
+
+def sessions_py(seconds, gap_sec):
+    """Reference sessionizer over a sorted list of epoch seconds."""
+    out = []
+    for s in sorted(seconds):
+        if out and s - out[-1][-1] <= gap_sec:
+            out[-1].append(s)
+        else:
+            out.append([s])
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),            # conv
+            st.integers(min_value=0, max_value=7 * 24 * 60),  # minute offset
+        ),
+        min_size=1, max_size=40, unique=True,
+    ),
+    st.integers(min_value=1, max_value=120),                  # gap minutes
+)
+def test_sessionization_matches_reference(spark, turns, gap_minutes):
+    """For ANY event set and gap: sessions partition the events (Σ n_turns
+    == |events|), bounds come from the data, durations are consistent, and
+    the whole result equals a single-threaded reference implementation."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"c{c}", i, "user", "x", "none", t0 + dt.timedelta(minutes=m))
+        for i, (c, m) in enumerate(turns)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = conversation_sessions(df, gap_minutes=gap_minutes).collect()
+    assert sum(r.n_turns for r in got) == len(rows)  # partition totality
+    by_conv: dict[str, list] = {}
+    for r in got:
+        assert r.duration_sec == (r.end_ts - r.start_ts).total_seconds()
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for conv, sess in by_conv.items():
+        secs = [
+            (t0 + dt.timedelta(minutes=m) - dt.datetime(1970, 1, 1)).total_seconds()
+            for (c, m) in turns
+            if f"c{c}" == conv
+        ]
+        want = sessions_py(secs, gap_minutes * 60)
+        gotc = sorted(sess, key=lambda r: r.session_idx)
+        assert [r.n_turns for r in gotc] == [len(w) for w in want]
+        assert [r.session_idx for r in gotc] == list(range(len(want)))
+        for r, w in zip(gotc, want):
+            assert (r.start_ts - dt.datetime(1970, 1, 1)).total_seconds() == w[0]
+            assert (r.end_ts - dt.datetime(1970, 1, 1)).total_seconds() == w[-1]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30),
+    st.integers(min_value=16, max_value=512),
+)
+def test_packing_laws(spark, token_counts, budget):
+    """Packing partitions the corpus (every doc exactly once), respects the
+    grid bound (pack sum − its max doc < budget), and is invariant to input
+    partitioning."""
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(n)) if n else "") for i, n in enumerate(token_counts)],
+        "doc_id long, text string",
+    )
+    packs = sm.pack_corpus(docs, budget_tokens=budget, n_shards=4)
+    rows = packs.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(token_counts)))
+    agg = {}
+    for r in rows:
+        key = (r.shard, r.pack_id)
+        s, m = agg.get(key, (0, 0))
+        agg[key] = (s + r.n_tokens, max(m, r.n_tokens))
+    for (s, m) in agg.values():
+        assert s - m < budget  # grid bound
+    again = sm.pack_corpus(docs.repartition(7), budget_tokens=budget, n_shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
