@@ -36,7 +36,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from log_parser_mind_spark.operators import asof, dedup, sample
+    from log_parser_mind_spark.operators import asof, sample
     from log_parser_mind_spark.operators.curate import decontaminate
     from log_parser_mind_spark.operators.sessionize import conversation_sessions
     from log_parser_mind_spark.session import get_spark
@@ -46,13 +46,18 @@ def main() -> None:
 
     rep_e = spark.range(r_events).select(F.col("id").alias("rep"))
     ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
-    n_ev0 = ev.count()
+    # Replica user-id stride from the DATA (a fixed 1e6 would merge users on
+    # any dataset whose ids reach it, silently voiding the exactness check).
+    base_users, max_uid = ev.agg(
+        F.countDistinct("user_id"), F.max("user_id")
+    ).collect()[0]
+    stride = int(max_uid) + 1
     ev_big = (
         ev.crossJoin(rep_e)
         .select(
             (F.col("event_id") * r_events + F.col("rep")).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            (F.col("user_id") + F.col("rep") * F.lit(stride)).alias("user_id"),
             "event_type",
             "value",
         )
@@ -66,7 +71,7 @@ def main() -> None:
         f"({datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')})",
         "",
         f"`python bench/new_ops_bench.py {r_events} {r_docs}` — events ×{r_events} "
-        f"({n_ev:,} rows, {150 * r_events:,} users), documents ×{r_docs}, local[32]. "
+        f"({n_ev:,} rows, {base_users * r_events:,} users), documents ×{r_docs}, local[32]. "
         "Single runs (±2× VM noise); the invariants are the evidence.",
         "",
         "| operator | wall (s) | output | invariant |",
@@ -79,24 +84,32 @@ def main() -> None:
     ).persist()
     n_sess = sess.count()
     t_sess = time.time() - t0
+    # Replicas only shift user ids, so the session count must be an EXACT
+    # multiple of the base corpus's — asserted BEFORE anything is recorded.
+    base_sess = conversation_sessions(
+        ev, gap_minutes=30, conv_col="user_id", ts_col="ts", tiebreak_col="event_id"
+    ).count()
+    assert base_sess * r_events == n_sess, (base_sess, r_events, n_sess)
     lines.append(
         f"| sessionize ({n_ev:,} events) | {t_sess:.1f} | {n_sess:,} sessions "
-        f"| per-replica session count × {r_events} exactly |"
+        f"| == base {base_sess:,} × {r_events} exactly (asserted) |"
     )
 
     t0 = time.time()
-    assigned = asof.interval_join(
+    iv = asof.interval_join(
         ev_big.select("event_id", "user_id", "ts"),
         sess.select("user_id", "session_idx", "start_ts", "end_ts"),
         key="user_id",
-    ).count()
+    )
+    assigned, distinct_events = iv.agg(
+        F.count(F.lit(1)), F.countDistinct("event_id")
+    ).collect()[0]
     t_iv = time.time() - t0
-    total = assigned == n_ev
+    assert assigned == n_ev == distinct_events, (assigned, distinct_events, n_ev)
     lines.append(
         f"| interval join events→sessions | {t_iv:.1f} | {assigned:,} assignments "
-        f"| total+unique: rows == events → {total} |"
+        f"| total AND unique: rows == distinct events == |events| (asserted) |"
     )
-    assert total, (assigned, n_ev)
 
     t0 = time.time()
     errors = ev_big.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
@@ -129,53 +142,60 @@ def main() -> None:
     )
     n_docs = docs_big.count()
 
+    BUDGET = 2048
     t0 = time.time()
-    packs = sample.pack_corpus(docs_big, budget_tokens=2048, n_shards=64)
+    packs = sample.pack_corpus(docs_big, budget_tokens=BUDGET, n_shards=64)
     pk = packs.groupBy("shard", "pack_id").agg(
         F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("m")
     ).persist()
     n_packs = pk.count()
-    overflow_bad = pk.filter(F.col("s") - F.col("m") >= 2048).count()
+    overflow_bad = pk.filter(F.col("s") - F.col("m") >= BUDGET).count()
     mean_fill = pk.agg(F.avg("s")).collect()[0][0]
     t_pack = time.time() - t0
     lines.append(
         f"| pack_corpus ({n_docs:,} docs) | {t_pack:.1f} | {n_packs:,} packs, "
-        f"mean fill {mean_fill:.0f}/2048 | grid bound violations: {overflow_bad} |"
+        f"mean fill {mean_fill:.0f}/{BUDGET} | grid bound violations: {overflow_bad} |"
     )
     assert overflow_bad == 0
 
     t0 = time.time()
-    kept = sample.stratified_sample(
+    sampled = sample.stratified_sample(
         docs_big, {"en": 0.5, "de": 1.0, "zh": 0.25}, strata_col="lang", salt=7
-    ).count()
+    )
+    kept = sampled.count()
     t_sm = time.time() - t0
+    # Plan shape asserted over the raw parquet scan (docs_big's own
+    # crossJoin/repartition lineage would show ITS exchanges): the sampling
+    # step adds a pure filter, nothing else.
+    raw_sampled = sample.stratified_sample(
+        docs, {"en": 0.5}, strata_col="lang", salt=7
+    )
+    plan = raw_sampled._sc._jvm.PythonSQLUtils.explainString(
+        raw_sampled._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
     lines.append(
-        f"| stratified_sample | {t_sm:.1f} | kept {kept:,}/{n_docs:,} | scan-filter only, no shuffle |"
+        f"| stratified_sample | {t_sm:.1f} | kept {kept:,}/{n_docs:,} "
+        f"| pure scan filter — zero exchanges (plan-asserted on the raw scan) |"
     )
 
-    t0 = time.time()
     bench_bl = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
     )
+    n_bl = bench_bl.count()  # outside the timed section
+    t0 = time.time()
     clean = decontaminate(docs_big, bench_bl, threshold=0.7,
                           minhash_k=32, minhash_bands=8, shingle_n=3).count()
     t_dec = time.time() - t0
     lines.append(
-        f"| decontaminate vs {bench_bl.count()}-doc blocklist | {t_dec:.1f} "
-        f"| {clean:,} survivors | corpus×blocklist band join only (S-curve config) |"
+        f"| decontaminate vs {n_bl}-doc blocklist | {t_dec:.1f} "
+        f"| {clean:,} survivors | S-curve LSH config (k=32, bands=8, 3-shingles) |"
     )
 
     out = "\n".join(lines) + "\n"
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as fh:
         fh.write(out)
     print(out, flush=True)
-    # Per-replica exactness: replicas only shift user ids, so session count
-    # must be an exact multiple of the base corpus's.
-    base_sess = conversation_sessions(
-        ev, gap_minutes=30, conv_col="user_id", ts_col="ts", tiebreak_col="event_id"
-    ).count()
-    print(f"base sessions {base_sess} × {r_events} = {base_sess * r_events} "
-          f"(measured {n_sess}) exact: {base_sess * r_events == n_sess}", flush=True)
     spark.stop()
 
 

@@ -134,3 +134,17 @@ def test_packing_laws(spark, token_counts, budget):
         assert s - m < budget  # grid bound
     again = sm.pack_corpus(docs.repartition(7), budget_tokens=budget, n_shards=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_minstd_mirror_matches_spark_expression(spark):
+    """The pure-Python mirror above exists to detect drift in the Spark
+    expression — so actually compare them (review r4: without this, every
+    property here tested the mirror against itself)."""
+    keys = [0, 1, 44_505, 44_506, 123_456_789, 2**31, 2**40 + 17,
+            1_200_000_000_000_000_000]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", sm._minstd("doc_id", 7).alias("h")).collect()
+    }
+    assert got == {k: minstd_py(k, 7) for k in keys}
