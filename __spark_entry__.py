@@ -1198,6 +1198,56 @@ SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT cid FROM dirty)
 """
 
 
+def q_boilerplate_stripped(spark, sf_dir):
+    """C4/RefinedWeb-style boilerplate line removal (curate.strip_boilerplate):
+    a synthetic nav line is attached to ~75% of the documents (prepended for
+    even ids, appended when id % 4 == 1), then any line present in ≥ 50% of
+    distinct docs is dropped everywhere, original line order preserved.
+    Oracle replicates construction + frequency + reassembly in SQL."""
+    from log_parser_mind_spark.operators.curate import strip_boilerplate
+
+    nav = "Home | Products | About | Contact"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit(nav + "\n"), F.col("text")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit("\n" + nav)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_boilerplate(docs, min_doc_frac=0.5).select("doc_id", "text")
+
+
+_ORACLE_BOILERPLATE = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'Home | Products | About | Contact' || chr(10) || text
+              WHEN doc_id % 4 = 1 THEN text || chr(10) || 'Home | Products | About | Contact'
+              ELSE text END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, u.ord, u.line,
+         lower(regexp_replace(trim(u.line), '\s+', ' ', 'g')) AS norm
+  FROM d, LATERAL (
+    SELECT unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS ord
+  ) u
+), freq AS (
+  SELECT norm, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1
+), total AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+boiler AS (
+  SELECT norm FROM freq, total WHERE n_docs >= greatest(2, ceil(n * 0.5))
+), kept AS (
+  SELECT l.doc_id, l.ord, l.line FROM lines l
+  WHERE l.norm NOT IN (SELECT norm FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean, '') AS text
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_error_rates_events(spark, sf_dir):
     """A3 shape: per-minute countIf over the event stream."""
     ev = _t(spark, sf_dir, "events")
@@ -1720,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "asof_enrich": q_asof_enrich,
         "decontaminated_corpus": q_decontaminated_corpus,
+        "boilerplate_stripped": q_boilerplate_stripped,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
         "error_rates_events": q_error_rates_events,
@@ -1812,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "asof_enrich": _ORACLE_ASOF_ENRICH,
         "decontaminated_corpus": _ORACLE_DECONTAMINATED,
+        "boilerplate_stripped": _ORACLE_BOILERPLATE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,
         "error_rates_events": _ORACLE_ERROR_RATES_EVENTS,

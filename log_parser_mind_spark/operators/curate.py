@@ -176,3 +176,77 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_doc_frac: float = 0.05,
+    min_docs: int | None = None,
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate LINE removal: a line (``sep``-separated
+    segment) appearing in ≥ ``min_docs`` distinct documents (default:
+    ``min_doc_frac`` of the corpus) is navigation/footer/header noise — drop
+    every occurrence, keep the remaining lines in their original order.
+    Whitespace-normalized, case-folded line identity; a doc whose every line
+    is boilerplate survives as an empty string (the row itself must not
+    vanish — downstream joins key on it).
+
+    Scale shape: posexplode(lines) → groupBy the 8-byte line HASH with
+    map-side combine (the shuffle moves one row per DISTINCT line, keyed by
+    xxhash64, never the line text) → join verdicts back on the hash →
+    re-assemble per doc (array_sort on (pos, line) structs, one groupBy).
+    The corpus-size divisor rides the plan as a broadcast one-row aggregate
+    — no driver-side count() during composition. Three shuffles total, each
+    bounded by |lines| or |distinct lines|; inherently a global-frequency
+    pass, the cheapest correct shape for it."""
+    from . import dedup
+
+    line_key = F.xxhash64(dedup.normalized_text(F.col("line")))
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "pos", "line"
+        ),
+    )
+    freq = (
+        lines.select(line_key.alias("lk"), "_id")
+        .groupBy("lk")
+        .agg(F.countDistinct("_id").alias("n_docs"))
+    )
+    total = docs.agg(F.countDistinct(id_col).alias("_total"))
+    thresh = (
+        F.lit(int(min_docs)).cast("long")
+        if min_docs is not None
+        else F.greatest(
+            F.lit(2).cast("long"),
+            F.ceil(F.col("_total") * F.lit(float(min_doc_frac))).cast("long"),
+        )
+    )
+    boiler = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("n_docs") >= thresh)
+        .select("lk")
+    )
+    kept = lines.join(
+        F.broadcast(boiler).withColumnRenamed("lk", "_blk"),
+        line_key == F.col("_blk"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_clean")
+    )
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+        .drop("_clean")
+    )

@@ -748,3 +748,31 @@ def test_decontaminate_cross_corpus_only(spark):
         corpus, bench, threshold=0.7, minhash_k=32, minhash_bands=32, shingle_n=1
     )
     assert sorted(r.doc_id for r in clean.collect()) == [3]
+
+
+def test_strip_boilerplate_lines(spark):
+    """C4-style line-level cleaning: lines in >= min_docs distinct docs are
+    dropped everywhere, surviving lines keep their original order, and docs
+    reduced to nothing (or NULL text) survive as empty strings."""
+    from log_parser_mind_spark.operators.curate import strip_boilerplate
+
+    nav = "Home | About | Contact"
+    rows = [
+        (0, f"{nav}\nunique story alpha\nsecond line alpha"),
+        (1, f"unique story beta\n{nav}"),
+        (2, f"{nav}"),                       # only boilerplate → ""
+        (3, "standalone text gamma"),
+        (4, None),                           # NULL text survives as ""
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in strip_boilerplate(docs, min_docs=3).collect()}
+    assert out == {
+        0: "unique story alpha\nsecond line alpha",
+        1: "unique story beta",
+        2: "",
+        3: "standalone text gamma",
+        4: "",
+    }
+    # Fractional threshold: nav appears in 3/5 docs; min_doc_frac=0.8 keeps it.
+    kept = {r.doc_id: r.text for r in strip_boilerplate(docs, min_doc_frac=0.8).collect()}
+    assert nav in kept[0]
