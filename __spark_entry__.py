@@ -1248,6 +1248,32 @@ FROM d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_training_mixture(spark, sf_dir):
+    """Training-mix assembly (sample.weighted_mixture): en docs at 60%, the
+    rest at 20%, per-source salted so overlapping keys draw independent coin
+    flips. Oracle recomputes both per-source predicates and unions them."""
+    docs = _t(spark, sf_dir, "documents")
+    mix = sample_ops.weighted_mixture(
+        [
+            ("en", docs.filter(F.col("lang") == "en"), 0.6),
+            ("rest", docs.filter(F.col("lang") != "en"), 0.2),
+        ],
+        salt=5,
+    )
+    return mix.select("doc_id", "lang", "mix_source")
+
+
+_ORACLE_TRAINING_MIXTURE = """
+SELECT doc_id, lang, 'en' AS mix_source FROM documents
+WHERE lang = 'en'
+  AND (((((doc_id % 2147483647) * 48271 + 5) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) < 1288490188
+UNION ALL
+SELECT doc_id, lang, 'rest' AS mix_source FROM documents
+WHERE lang <> 'en'
+  AND (((((doc_id % 2147483647) * 48271 + 1000008) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) < 429496729
+"""
+
+
 def q_error_rates_events(spark, sf_dir):
     """A3 shape: per-minute countIf over the event stream."""
     ev = _t(spark, sf_dir, "events")
@@ -1771,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "decontaminated_corpus": q_decontaminated_corpus,
         "boilerplate_stripped": q_boilerplate_stripped,
+        "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
         "error_rates_events": q_error_rates_events,
@@ -1864,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_enrich": _ORACLE_ASOF_ENRICH,
         "decontaminated_corpus": _ORACLE_DECONTAMINATED,
         "boilerplate_stripped": _ORACLE_BOILERPLATE,
+        "training_mixture": _ORACLE_TRAINING_MIXTURE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,
         "error_rates_events": _ORACLE_ERROR_RATES_EVENTS,

@@ -131,3 +131,30 @@ def pack_corpus(
         )
         .select(key_col, "shard", "pack_id", "n_tokens")
     )
+
+
+def weighted_mixture(
+    sources: list[tuple[str, DataFrame, float]],
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Training-mix assembly: union the sources, each deterministically
+    down-sampled to its mixture fraction, tagged with ``mix_source``. The
+    salt is offset per source so a key present in two sources draws
+    INDEPENDENT coin flips — without that, overlapping corpora would be
+    kept/dropped in lockstep and skew the realized mix. Same reproducibility
+    contract as ``deterministic_sample``: re-running at any parallelism, or
+    raising one source's fraction, never changes which OTHER rows are kept.
+    Sources must share a schema (the usual curated-doc shape)."""
+    if not sources:
+        raise ValueError("weighted_mixture needs at least one source")
+    parts = []
+    for i, (name, df, fraction) in enumerate(sources):
+        parts.append(
+            deterministic_sample(df, fraction, key_col, salt=salt + i * 1_000_003)
+            .withColumn("mix_source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -84,3 +84,28 @@ def test_sample_survives_snowflake_scale_keys(spark):
     docs = spark.range(5_000).select((F.col("id") + base).alias("doc_id"))
     kept = sm.deterministic_sample(docs, 0.2, salt=4).count()
     assert 0.15 < kept / 5_000 < 0.25
+
+
+def test_weighted_mixture_independence_and_tags(spark):
+    """Each source draws independent, deterministic coin flips: shared keys
+    are NOT kept in lockstep across sources, fractions land near target,
+    and tags identify provenance."""
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"),
+                                      F.lit("t").alias("text"))
+    mix = sm.weighted_mixture(
+        [("a", docs, 0.5), ("b", docs, 0.5)], salt=11
+    ).persist()
+    counts = {r.mix_source: r.n for r in
+              mix.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.45 < counts["a"] / 10_000 < 0.55
+    assert 0.45 < counts["b"] / 10_000 < 0.55
+    both = (mix.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+            .filter("n = 2").count())
+    # Independent flips → ~25% kept by both; lockstep would give ~50%.
+    assert 0.20 < both / 10_000 < 0.31
+    again = sm.weighted_mixture([("a", docs.repartition(9), 0.5), ("b", docs, 0.5)], salt=11)
+    assert sorted(map(tuple, mix.collect())) == sorted(map(tuple, again.collect()))
+    mix.unpersist()
+
+    with pytest.raises(ValueError):
+        sm.weighted_mixture([])
