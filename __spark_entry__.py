@@ -1248,6 +1248,65 @@ FROM d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality metrics (curate.repetition_scores):
+    duplicate-line fraction (count + char mass) and most-frequent 2-/3-gram
+    char coverage, per document. Spark side is zero-shuffle (sorted-array
+    adjacency scan + run-length fold per row); the oracle recomputes the
+    same semantics relationally (unnest → group → window top-1)."""
+    from log_parser_mind_spark.operators.curate import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = r"""
+WITH lines AS (
+  SELECT doc_id, line
+  FROM documents, LATERAL unnest(string_split(coalesce(text,''), chr(10))) AS u(line)
+  WHERE trim(line) <> ''
+), lc AS (
+  SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2
+), lstats AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         coalesce(sum(c) FILTER (c > 1), 0) AS dup_cnt,
+         sum(c * length(line)) AS tot_chars,
+         coalesce(sum(c * length(line)) FILTER (c > 1), 0) AS dup_chars
+  FROM lc GROUP BY 1
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t
+  FROM documents
+), g2 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM toks, LATERAL unnest(list_transform(generate_series(1, greatest(len(t)-1,0)),
+                                           i -> t[i] || ' ' || t[i+1])) AS u(g)
+  GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, c * length(g) AS val FROM g2
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g) = 1
+), g3 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM toks, LATERAL unnest(list_transform(generate_series(1, greatest(len(t)-2,0)),
+                                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+  GROUP BY 1, 2
+), top3 AS (
+  SELECT doc_id, c * length(g) AS val FROM g3
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g) = 1
+)
+SELECT d.doc_id,
+  cast(coalesce(l.n_lines, 0) AS INTEGER) AS n_lines,
+  round(coalesce(l.dup_cnt / l.n_lines, 0), 6) AS dup_line_frac,
+  round(coalesce(l.dup_chars / nullif(l.tot_chars, 0), 0), 6) AS dup_line_char_frac,
+  round(coalesce(t2.val / nullif(length(coalesce(d.text,'')), 0), 0), 6) AS top_2gram_char_frac,
+  round(coalesce(t3.val / nullif(length(coalesce(d.text,'')), 0), 0), 6) AS top_3gram_char_frac
+FROM documents d
+LEFT JOIN lstats l USING (doc_id)
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN top3 t3 USING (doc_id)
+"""
+
+
 def q_training_mixture(spark, sf_dir):
     """Training-mix assembly (sample.weighted_mixture): en docs at 60%, the
     rest at 20%, per-source salted so overlapping keys draw independent coin
@@ -1797,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "decontaminated_corpus": q_decontaminated_corpus,
         "boilerplate_stripped": q_boilerplate_stripped,
+        "repetition_scores": q_repetition_scores,
         "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
@@ -1891,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_enrich": _ORACLE_ASOF_ENRICH,
         "decontaminated_corpus": _ORACLE_DECONTAMINATED,
         "boilerplate_stripped": _ORACLE_BOILERPLATE,
+        "repetition_scores": _ORACLE_REPETITION,
         "training_mixture": _ORACLE_TRAINING_MIXTURE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,

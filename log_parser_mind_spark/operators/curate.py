@@ -250,3 +250,145 @@ def strip_boilerplate(
         .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
         .drop("_clean")
     )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021, §A1.1; the
+    same family Dolma/RefinedWeb filter on), per document:
+
+      n_lines             non-blank lines (trim(line) <> '')
+      dup_line_frac       fraction of non-blank lines whose exact text occurs
+                          more than once in the doc (all occurrences counted)
+      dup_line_char_frac  chars in those duplicated lines / chars in all
+                          non-blank lines
+      top_2gram_char_frac chars covered by the most frequent word 2-gram
+                          (count × gram length) / length(text); gram chosen by
+                          (count desc, gram length desc) — ties beyond that
+                          have identical count×length, so the value is unique
+      top_3gram_char_frac same for 3-grams
+
+    Grams come from the suite's shared lowercase whitespace tokenizer
+    (text.ws_tokens_expr), joined with single spaces. Docs with no lines /
+    too few tokens score 0 (never NULL). All ratios rounded to 6dp.
+
+    Scale shape — the part that matters at 100 TB: every metric is
+    PER-DOCUMENT, so nothing here shuffles. The naive relational form
+    (explode lines → groupBy(doc, line) → groupBy(doc) → join back) moves
+    every line of the corpus through two exchanges to compute a per-row
+    statistic; instead each metric is a JVM higher-order expression over the
+    row itself: duplicate lines via array_sort + adjacent-equality scan
+    (O(L log L) per row), the mode n-gram via array_sort + a single
+    run-length fold with an empty-string sentinel to flush the last run
+    (grams are never empty — tokens are blank-filtered — so the sentinel
+    cannot collide). The whole plan is Project over the scan: embarrassingly
+    parallel, zero exchanges, survives any corpus size that scans.
+
+    Each derived array is materialized in its OWN projection step
+    (withColumn chain) — Catalyst does not CSE higher-order-function trees,
+    so referencing an inlined sort/split N times would re-run it N times
+    (the trap documented at functions/text.py:43-48).
+    """
+    from ..functions import text as tx
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _top_gram_val(grams_sorted: Column) -> Column:
+        # Run-length fold over the sorted grams; sentinel '' flushes the
+        # final run. State: (prev gram, current run, best count, best len);
+        # best updated on (count, len) lexicographic strictly-greater, so
+        # among (count, len) ties the FIRST (lexicographically smallest)
+        # gram wins — its count×len value is identical to any other tie.
+        arr = F.concat(grams_sorted, F.array(F.lit("")))
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("bcnt"),
+            F.lit(0).cast("long").alias("blen"),
+        )
+
+        def step(acc: Column, g: Column) -> Column:
+            same = g == acc["prev"]
+            plen = F.length(acc["prev"])
+            better = (acc["run"] > acc["bcnt"]) | (
+                (acc["run"] == acc["bcnt"]) & (plen > acc["blen"])
+            )
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(same, acc["bcnt"])
+                .otherwise(F.when(better, acc["run"]).otherwise(acc["bcnt"]))
+                .alias("bcnt"),
+                F.when(same, acc["blen"])
+                .otherwise(F.when(better, plen.cast("long")).otherwise(acc["blen"]))
+                .alias("blen"),
+            )
+
+        return F.aggregate(arr, init, step, lambda acc: acc["bcnt"] * acc["blen"])
+
+    def _grams(toks: Column, n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    with_arrays = (
+        docs.withColumn(
+            "_ls",
+            F.array_sort(
+                F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+            ),
+        )
+        .withColumn("_toks", tx.ws_tokens_expr(F.col(text_col)))
+        .withColumn("_g2", F.array_sort(_grams(F.col("_toks"), 2)))
+        .withColumn("_g3", F.array_sort(_grams(F.col("_toks"), 3)))
+    )
+
+    ls = F.col("_ls")
+    n_lines = F.size(ls)
+    # One fold computes (duplicated-line count, duplicated-line chars,
+    # total line chars) over the sorted lines via adjacent equality:
+    # an occurrence is "duplicated" iff it equals its sorted neighbor.
+    idx = F.when(n_lines > 0, F.sequence(F.lit(1), n_lines)).otherwise(
+        F.array().cast("array<int>")
+    )
+    dup_init = F.struct(
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("chars"),
+        F.lit(0).cast("long").alias("total"),
+    )
+
+    def dup_step(acc: Column, i: Column) -> Column:
+        cur = F.element_at(ls, i)
+        is_dup = ((i > 1) & (cur == F.element_at(ls, i - 1))) | (
+            (i < F.size(ls)) & (cur == F.element_at(ls, i + 1))
+        )
+        clen = F.length(cur).cast("long")
+        return F.struct(
+            (acc["cnt"] + F.when(is_dup, 1).otherwise(0)).alias("cnt"),
+            (acc["chars"] + F.when(is_dup, clen).otherwise(F.lit(0).cast("long"))).alias(
+                "chars"
+            ),
+            (acc["total"] + clen).alias("total"),
+        )
+
+    scored = with_arrays.withColumn("_dup", F.aggregate(idx, dup_init, dup_step))
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
+
+    text_len = F.length(text)
+    return scored.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        ratio(F.col("_dup.cnt"), n_lines.cast("long")).alias("dup_line_frac"),
+        ratio(F.col("_dup.chars"), F.col("_dup.total")).alias("dup_line_char_frac"),
+        ratio(_top_gram_val(F.col("_g2")), text_len).alias("top_2gram_char_frac"),
+        ratio(_top_gram_val(F.col("_g3")), text_len).alias("top_3gram_char_frac"),
+    )

@@ -776,3 +776,52 @@ def test_strip_boilerplate_lines(spark):
     # Fractional threshold: nav appears in 3/5 docs; min_doc_frac=0.8 keeps it.
     kept = {r.doc_id: r.text for r in strip_boilerplate(docs, min_doc_frac=0.8).collect()}
     assert nav in kept[0]
+
+
+def test_repetition_scores_hand_computed(spark):
+    """Gopher repetition metrics on hand-computed docs: duplicate lines
+    (count + char mass), mode 2-/3-gram coverage, blank-line filtering,
+    NULL text, gram-less docs, and a (count, len) tie whose value is
+    invariant to which gram wins."""
+    from log_parser_mind_spark.operators.curate import repetition_scores
+
+    rows = [
+        (0, "x\nx\ny z y z\n\n  \nunique"),
+        (1, None),
+        (2, "tok"),
+        (3, "a b a b c d c d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert len(out) == 4
+
+    a = out[0]
+    # lines kept: [x, x, "y z y z", unique] — the blank and "  " drop out
+    assert a.n_lines == 4
+    assert a.dup_line_frac == pytest.approx(2 / 4)
+    assert a.dup_line_char_frac == pytest.approx(round(2 / 15, 6))
+    # 2-grams: "y z" twice (val 2*3=6); text length 22
+    assert a.top_2gram_char_frac == pytest.approx(round(6 / 22, 6))
+    # 3-grams all unique; longest is "y z unique" (len 10)
+    assert a.top_3gram_char_frac == pytest.approx(round(10 / 22, 6))
+
+    b = out[1]
+    assert (b.n_lines, b.dup_line_frac, b.dup_line_char_frac) == (0, 0.0, 0.0)
+    assert (b.top_2gram_char_frac, b.top_3gram_char_frac) == (0.0, 0.0)
+
+    c = out[2]  # one token → no grams; one line, no dups
+    assert (c.n_lines, c.dup_line_frac) == (1, 0.0)
+    assert (c.top_2gram_char_frac, c.top_3gram_char_frac) == (0.0, 0.0)
+
+    d = out[3]  # "a b" and "c d" both occur twice, same length → same value
+    assert d.top_2gram_char_frac == pytest.approx(round(6 / 15, 6))
+
+
+def test_repetition_scores_zero_shuffle_plan(spark):
+    """The 100 TB property: per-doc metrics must not shuffle. The physical
+    plan over a parquet scan must contain no Exchange at all."""
+    from log_parser_mind_spark.operators.curate import repetition_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
