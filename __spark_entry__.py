@@ -177,6 +177,39 @@ def q_streaming_templates(spark, sf_dir):
     return store.read("stream_templates").select("template_id", "pattern", "log_count")
 
 
+def q_stateful_templates(spark, sf_dir):
+    """T4 via the TRUE stateful path (streaming.stateful_miner): Drain leaf
+    state in the state store instead of re-reading the committed dimension
+    per trigger. Same corpus and 2-file split as q_streaming_templates, same
+    golden oracle: per-epoch assignments aggregated by (template_id, pattern)
+    must converge EXACTLY — template set and log_count mass — to the one-shot
+    batch mine, because each epoch seeds from the recovered state exactly
+    like foreachBatch seeds from the committed templates."""
+    import tempfile
+
+    from log_parser_mind_spark.streaming.stateful_miner import mine_templates_stateful
+    from log_parser_mind_spark.streaming.stream import stream_transcripts
+
+    root = tempfile.mkdtemp(prefix="logmind_stateful_contract_")
+    t = documents_as_transcripts(spark, sf_dir)
+    t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
+    q = (
+        mine_templates_stateful(stream_transcripts(spark, f"{root}/input", max_files=1))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{root}/out")
+        .groupBy(F.col("template_id"), F.col("template").alias("pattern"))
+        .agg(F.count(F.lit(1)).alias("log_count"))
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     assets = multimodal.synth_assets(spark, n=64)
     feats = multimodal.decode_and_featurize(assets, fake=True)
@@ -1814,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "simhash_hamming_dups": q_simhash_hamming_dups,
         "streaming_templates": q_streaming_templates,
+        "stateful_templates": q_stateful_templates,
         "multimodal_features": q_multimodal_features,
         # grok/parse layer (oracle-checked)
         "mask_documents": q_mask_documents,
@@ -1909,6 +1943,10 @@ def oracle_sql() -> dict[str, str]:
         "drain_templates": _golden_sql("drain_templates", "template_id, pattern, log_count"),
         # the streaming path must converge EXACTLY to the batch mine — same golden
         "streaming_templates": _golden_sql(
+            "drain_templates", "template_id, pattern, log_count"
+        ),
+        # state-store path, same exact-convergence contract as foreachBatch
+        "stateful_templates": _golden_sql(
             "drain_templates", "template_id, pattern, log_count"
         ),
         "drain_parsed_turns": _golden_sql(

@@ -93,12 +93,83 @@ def _sig_stats(masked: DataFrame, collect_samples: bool, max_depth: int = 4) -> 
 _CLUSTER_OUT = "masked_sig string, template_id string, template string, creates boolean"
 
 
+def cluster_leaf(
+    sigs: list,
+    convs: list,
+    turns: list,
+    seed_patterns: list,
+    sim_threshold: float,
+) -> tuple[list, list]:
+    """The sequential Drain leaf loop (findBestMatch ≥ threshold → generalize,
+    else create; drain.go:243-276,345-363) over one leaf's distinct
+    signatures, shared by the batch clusterer UDF and the stateful-streaming
+    handler so the two paths can never drift.
+
+    ``seed_patterns`` (templates from prior micro-batches / the committed
+    dimension — T4 state) become PRE-EXISTING clusters in deterministic
+    (pattern-sorted) order before any signature is processed; they emit no
+    assignment rows and never anchor ``creates``. Signatures are processed
+    in canonical (conv, turn) first-occurrence order — a pure function of
+    the input set, independent of partitioning.
+
+    Returns ``(assignments, final_patterns)``: assignments[i] =
+    (template_id, template, creates) aligned with the input order of
+    ``sigs``; final_patterns = the leaf's cluster templates AFTER this
+    batch, deduped and sorted — seeds survive (possibly generalized) even
+    when no signature matched them, which is exactly the state the next
+    micro-batch must seed from."""
+    from .drain_core import WILDCARD, template_id_of
+
+    clusters: list[list] = []  # [tokens, members, anchor]
+    for p in sorted(seed_patterns):
+        clusters.append([p.split(" "), [], None])
+    order = sorted(range(len(sigs)), key=lambda i: (convs[i], turns[i]))
+
+    for i in order:
+        tokens = sigs[i].split(" ")
+        n = len(tokens)
+        best = None
+        best_sim = sim_threshold
+        for c in clusters:
+            t = c[0]
+            if len(t) != n:
+                continue
+            m = 0
+            for a, b in zip(t, tokens):
+                if a == b or a == WILDCARD:
+                    m += 1
+            sim = m / n
+            if sim >= best_sim and (best is None or sim > best_sim):
+                best_sim = sim
+                best = c
+        if best is None:
+            clusters.append([tokens, [i], i])
+        else:
+            t = best[0]
+            best[0] = [a if a == b else WILDCARD for a, b in zip(t, tokens)]
+            best[1].append(i)
+
+    by_template: dict[str, tuple[list, set]] = {}
+    for c in clusters:
+        template = " ".join(c[0])
+        slot = by_template.setdefault(template, ([], set()))
+        slot[0].extend(c[1])
+        if c[2] is not None:  # seed clusters never anchor `creates`
+            slot[1].add(c[2])
+
+    assignments = [("", "", False)] * len(sigs)
+    for template, (members, anchors) in by_template.items():
+        tid = template_id_of(template)
+        for i in members:
+            assignments[i] = (tid, template, i in anchors)
+    return assignments, sorted(by_template)
+
+
 def _make_cluster_udf(sim_threshold: float):
     """Per-leaf clusterer. I/O is deliberately slim — only the signature and
     its ordering key cross the Arrow boundary (timestamps/weights are joined
     back JVM-side): the biggest leaf group is a single sequential task, so
     every byte serialized here is wall-clock serial time."""
-    from .drain_core import WILDCARD, template_id_of
 
     def cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sigs = pdf["masked_sig"].tolist()
@@ -106,71 +177,26 @@ def _make_cluster_udf(sim_threshold: float):
         turns = pdf["first_turn"].tolist()
         seed_flags = pdf["is_seed"].tolist() if "is_seed" in pdf.columns else None
 
-        # Seed templates (T4 incremental mining: templates committed by prior
-        # micro-batches) become PRE-EXISTING clusters, in deterministic
-        # (pattern-sorted) order, before any signature is processed. They
-        # emit no assignment rows themselves and never anchor `creates`.
-        clusters: list[list] = []  # [tokens, members, anchor]
         if seed_flags is not None:
-            for i in sorted(
-                (i for i in range(len(sigs)) if seed_flags[i]), key=lambda i: sigs[i]
-            ):
-                clusters.append([sigs[i].split(" "), [], None])
+            seeds = [sigs[i] for i in range(len(sigs)) if seed_flags[i]]
             real = [i for i in range(len(sigs)) if not seed_flags[i]]
         else:
+            seeds = []
             real = list(range(len(sigs)))
-        order = sorted(real, key=lambda i: (convs[i], turns[i]))
-
-        # Inlined drain leaf loop (findBestMatch ≥ threshold → generalize,
-        # else create; drain.go:243-276,345-363), tuned for large groups.
-        for i in order:
-            tokens = sigs[i].split(" ")
-            n = len(tokens)
-            best = None
-            best_sim = sim_threshold
-            for c in clusters:
-                t = c[0]
-                if len(t) != n:
-                    continue
-                m = 0
-                for a, b in zip(t, tokens):
-                    if a == b or a == WILDCARD:
-                        m += 1
-                sim = m / n
-                if sim >= best_sim and (best is None or sim > best_sim):
-                    best_sim = sim
-                    best = c
-            if best is None:
-                clusters.append([tokens, [i], i])
-            else:
-                t = best[0]
-                best[0] = [a if a == b else WILDCARD for a, b in zip(t, tokens)]
-                best[1].append(i)
-
-        by_template: dict[str, tuple[list, set]] = {}
-        for c in clusters:
-            template = " ".join(c[0])
-            slot = by_template.setdefault(template, ([], set()))
-            slot[0].extend(c[1])
-            if c[2] is not None:  # seed clusters never anchor `creates`
-                slot[1].add(c[2])
-
-        tid_arr = [""] * len(sigs)
-        tmpl_arr = [""] * len(sigs)
-        creates_arr = [False] * len(sigs)
-        for template, (members, anchors) in by_template.items():
-            tid = template_id_of(template)
-            for i in members:
-                tid_arr[i] = tid
-                tmpl_arr[i] = template
-                creates_arr[i] = i in anchors
+        assigned, _ = cluster_leaf(
+            [sigs[i] for i in real],
+            [convs[i] for i in real],
+            [turns[i] for i in real],
+            seeds,
+            sim_threshold,
+        )
         # Seed rows are cluster state, not signatures — emit real rows only.
         return pd.DataFrame(
             {
                 "masked_sig": [sigs[i] for i in real],
-                "template_id": [tid_arr[i] for i in real],
-                "template": [tmpl_arr[i] for i in real],
-                "creates": [creates_arr[i] for i in real],
+                "template_id": [a[0] for a in assigned],
+                "template": [a[1] for a in assigned],
+                "creates": [a[2] for a in assigned],
             }
         )
 

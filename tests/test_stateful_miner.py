@@ -1,0 +1,133 @@
+"""T4 via the arbitrary-stateful path: Drain leaf state in the state store
+(streaming.stateful_miner). Single-batch output must equal the batch miner
+(shared cluster_leaf core); leaf state must survive a query restart and seed
+the next micro-batch exactly like committed templates seed foreachBatch.
+"""
+
+import datetime as dt
+
+import pytest
+
+from log_parser_mind_spark.operators import parse
+from log_parser_mind_spark.operators.miner import mine_assignments
+from log_parser_mind_spark.schemas import TRANSCRIPTS
+from log_parser_mind_spark.streaming.stateful_miner import mine_templates_stateful
+
+
+def _tr(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _run(spark, in_path, tmp_path, name="smq"):
+    out_dir = str(tmp_path / f"out_{name}")
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(in_path)
+    q = (
+        mine_templates_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out_dir)
+
+
+def test_single_batch_matches_batch_miner(spark, tmp_path):
+    """One micro-batch with empty state = the batch miner exactly: same
+    distinct (sig → template_id, template) map, one output row per non-empty
+    input row, creates anchored on canonical first occurrences only."""
+    rows = [
+        ("c0", 0, "user", "connect failed to alpha", "none", T0),
+        ("c0", 1, "user", "connect failed to beta", "none", T0 + dt.timedelta(seconds=1)),
+        ("c1", 0, "user", "connect failed to alpha", "none", T0 + dt.timedelta(seconds=2)),
+        ("c1", 1, "user", "disk usage at 93 percent now", "none", T0 + dt.timedelta(seconds=3)),
+        ("c1", 2, "user", "   ", "none", T0 + dt.timedelta(seconds=4)),  # empty sig drops
+    ]
+    df = _tr(spark, rows)
+    in_path = str(tmp_path / "in1")
+    df.repartition(1).write.parquet(in_path)
+
+    got = _run(spark, in_path, tmp_path, "single")
+    out = got.collect()
+    assert len(out) == 4  # blank row filtered, everything else assigned
+
+    batch = mine_assignments(parse.masked_transcripts(df)).collect()
+    batch_map = {r.masked_sig: (r.template_id, r.template) for r in batch}
+    stream_map = {r.masked_sig: (r.template_id, r.template) for r in out}
+    assert stream_map == batch_map
+
+    # creates: exactly one anchor row per founded template, on the canonical
+    # (conv, turn) first occurrence of the founding signature.
+    anchors = {(r.conv_id, r.turn_idx) for r in out if r.creates}
+    founded = {r.masked_sig for r in batch if r.creates}
+    assert len(anchors) == len(founded)
+    assert ("c1", 0) not in anchors  # duplicate sig, canonical row is ("c0", 0)
+
+
+def test_state_survives_restart_and_seeds_next_batch(spark, tmp_path):
+    """Restart leg: a second availableNow run over the same checkpoint must
+    recover the leaf templates from state — known signatures reuse their
+    template (creates=False), a near-miss generalizes the STATE template
+    (wildcard appears), and only genuinely new leaves found clusters."""
+    in_path = str(tmp_path / "in2")
+    batch1 = _tr(
+        spark,
+        [
+            ("a0", 0, "user", "connect failed to alpha", "none", T0),
+            ("a0", 1, "user", "queue length stable", "none", T0 + dt.timedelta(seconds=1)),
+        ],
+    )
+    batch1.repartition(1).write.mode("append").parquet(in_path)
+    first = _run(spark, in_path, tmp_path, "restart").collect()
+    tid1 = {r.masked_sig: r.template_id for r in first}
+    assert all(r.creates for r in first)  # cold state: everything founds
+
+    batch2 = _tr(
+        spark,
+        [
+            # exact repeat of a batch-1 signature → must reuse, not re-found
+            ("b0", 0, "user", "queue length stable", "none", T0 + dt.timedelta(minutes=1)),
+            # near-miss of the batch-1 template (3/4 tokens) → generalizes it
+            ("b0", 1, "user", "connect failed to gamma", "none", T0 + dt.timedelta(minutes=1, seconds=1)),
+            # new leaf (different token count) → founds
+            ("b0", 2, "user", "totally new shape", "none", T0 + dt.timedelta(minutes=1, seconds=2)),
+        ],
+    )
+    batch2.repartition(1).write.mode("append").parquet(in_path)
+    both = _run(spark, in_path, tmp_path, "restart").collect()
+    second = [r for r in both if r.conv_id == "b0"]
+    by_text = {r.masked_sig: r for r in second}
+
+    repeat = by_text["queue length stable"]
+    assert repeat.template_id == tid1["queue length stable"]
+    assert not repeat.creates
+
+    near = by_text["connect failed to gamma"]
+    assert "<*>" in near.template  # state template generalized, not re-founded
+    assert not near.creates
+
+    fresh = by_text["totally new shape"]
+    assert fresh.creates
+
+
+def test_empty_state_array_roundtrip(spark, tmp_path):
+    """A leaf whose batch contains only already-known sigs must write its
+    state back unchanged (pattern list stable across triggers)."""
+    in_path = str(tmp_path / "in3")
+    one = _tr(spark, [("c", 0, "user", "ping host alpha", "none", T0)])
+    one.repartition(1).write.mode("append").parquet(in_path)
+    first = {r.template_id for r in _run(spark, in_path, tmp_path, "rt").collect()}
+
+    again = _tr(spark, [("d", 0, "user", "ping host alpha", "none", T0 + dt.timedelta(minutes=1))])
+    again.repartition(1).write.mode("append").parquet(in_path)
+    rows = _run(spark, in_path, tmp_path, "rt").collect()
+    latest = [r for r in rows if r.conv_id == "d"]
+    assert {r.template_id for r in latest} == first
+    assert not any(r.creates for r in latest)
