@@ -181,10 +181,13 @@ def q_stateful_templates(spark, sf_dir):
     """T4 via the TRUE stateful path (streaming.stateful_miner): Drain leaf
     state in the state store instead of re-reading the committed dimension
     per trigger. Same corpus and 2-file split as q_streaming_templates, same
-    golden oracle: per-epoch assignments aggregated by (template_id, pattern)
-    must converge EXACTLY — template set and log_count mass — to the one-shot
-    batch mine, because each epoch seeds from the recovered state exactly
-    like foreachBatch seeds from the committed templates."""
+    golden oracle: per-epoch distinct-sig assignments aggregated by
+    (template_id, pattern) with log_count = Σ weight converge — template set
+    and count mass — to the one-shot batch mine, because each epoch seeds
+    from the recovered state exactly like foreachBatch seeds from the
+    committed templates. Like streaming_templates, exactness holds because
+    no batch-2 signature generalizes a batch-1 template on this corpus/split
+    (append output cannot retro-update earlier epochs' emitted patterns)."""
     import tempfile
 
     from log_parser_mind_spark.streaming.stateful_miner import mine_templates_stateful
@@ -206,7 +209,7 @@ def q_stateful_templates(spark, sf_dir):
     return (
         spark.read.parquet(f"{root}/out")
         .groupBy(F.col("template_id"), F.col("template").alias("pattern"))
-        .agg(F.count(F.lit(1)).alias("log_count"))
+        .agg(F.sum("weight").alias("log_count"))
     )
 
 

@@ -13,7 +13,12 @@ Prints ONE JSON line; results recorded in BENCH/BASELINE.md. Not part of
 bench.py's headline suite — per-batch seeded re-mining is a different
 workload than the one-pass batch metric the baseline compares against.
 
-Usage: python bench/streaming_bench.py [n_convs] [n_batches]
+Usage: python bench/streaming_bench.py [n_convs] [n_batches] [mode]
+
+``mode`` = foreachbatch (default) | stateful. stateful drives the
+state-store path (streaming.stateful_miner) over the SAME input split —
+the comparison that shows what keeping Drain leaf state in the state store
+buys over re-reading the committed dimension every trigger.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ from log_parser_mind_spark.streaming import stream as st  # noqa: E402
 from log_parser_mind_spark.synth import synth_transcripts  # noqa: E402
 
 
-def main(n_convs: int = 50_000, n_batches: int = 10) -> None:
+def main(n_convs: int = 50_000, n_batches: int = 10, mode: str = "foreachbatch") -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(
         app_name="streaming_bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
@@ -50,7 +55,22 @@ def main(n_convs: int = 50_000, n_batches: int = 10) -> None:
 
         stream = st.stream_transcripts(spark, src, max_files=1)
         t0 = time.time()
-        q = st.incremental_pipeline(spark, stream, root).start()
+        if mode == "stateful":
+            from log_parser_mind_spark.streaming.stateful_miner import (
+                mine_templates_stateful,
+            )
+
+            q = (
+                mine_templates_stateful(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", f"{root}/stateful_out")
+                .option("checkpointLocation", f"{root}/stateful_ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            q = st.incremental_pipeline(spark, stream, root).start()
         q.awaitTermination()
         total = time.time() - t0
         per_batch = [
@@ -59,8 +79,15 @@ def main(n_convs: int = 50_000, n_batches: int = 10) -> None:
             if p["numInputRows"] > 0
         ]
 
-        store = SnapshotStore(spark, root)
-        streamed = store.read("stream_templates")
+        if mode == "stateful":
+            streamed = (
+                spark.read.parquet(f"{root}/stateful_out")
+                .groupBy("template_id", F.col("template").alias("pattern"))
+                .agg(F.sum("weight").alias("log_count"))
+            )
+        else:
+            store = SnapshotStore(spark, root)
+            streamed = store.read("stream_templates")
         _, batch_templates, _ = parse_pipeline(spark.read.parquet(src))
         stream_ids = {r.template_id for r in streamed.select("template_id").collect()}
         batch_ids = {r.template_id for r in batch_templates.select("template_id").collect()}
@@ -69,7 +96,11 @@ def main(n_convs: int = 50_000, n_batches: int = 10) -> None:
         print(
             json.dumps(
                 {
-                    "metric": "incremental streaming pipeline (foreachBatch seeded re-mining)",
+                    "metric": (
+                        "state-store stateful mining (applyInPandasWithState)"
+                        if mode == "stateful"
+                        else "incremental streaming pipeline (foreachBatch seeded re-mining)"
+                    ),
                     "value": round(total, 3),
                     "unit": "sec",
                     "n_turns": n_turns,
@@ -93,4 +124,9 @@ def main(n_convs: int = 50_000, n_batches: int = 10) -> None:
 
 
 if __name__ == "__main__":
-    main(*map(int, sys.argv[1:]))
+    args = sys.argv[1:]
+    main(
+        int(args[0]) if len(args) > 0 else 50_000,
+        int(args[1]) if len(args) > 1 else 10,
+        args[2] if len(args) > 2 else "foreachbatch",
+    )

@@ -18,10 +18,16 @@ occurrence (conv, turn) order over the batch (the batch miner uses the
 global first occurrence; for a single-batch stream the two are identical,
 asserted in tests/test_stateful_miner.py).
 
-State size: one array of template strings per leaf — the same "distinct
-templates, not rows" bound that makes the whole design work; token-less
-rows (empty masked_sig) are filtered before the state shuffle, mirroring
-miner._sig_stats.
+Scale shape: the output is one row per DISTINCT signature per trigger (the
+batch miner's ASSIGNMENTS shape), never one per input row, and the handler
+folds the incoming Arrow chunks into per-signature stats incrementally —
+Python memory is O(distinct sigs per leaf-batch) even when one hot template
+dominates a trigger (the same "distinct signatures, not rows" bound that
+makes the batch design work; batch additionally guards giant LEAVES, i.e.
+distinct-sig blowups, which a caller here controls with the trigger size).
+Per-turn assignment remains the foreachBatch pipeline's job — joining the
+tiny sig→template map back onto rows is batch stage 4, and in pure
+streaming it would be a stream-stream join against this operator's output.
 """
 
 from __future__ import annotations
@@ -33,8 +39,9 @@ from ..operators.miner import cluster_leaf, leaf_keys_from_sig
 from ..operators.parse import masked_transcripts
 
 STATEFUL_OUT_SCHEMA = (
-    "conv_id string, turn_idx int, ts timestamp, masked_sig string, "
-    "template_id string, template string, creates boolean"
+    "masked_sig string, template_id string, template string, creates boolean, "
+    "weight long, first_seen timestamp, last_seen timestamp, "
+    "first_conv string, first_turn int"
 )
 STATEFUL_STATE_SCHEMA = "templates array<string>"
 
@@ -43,14 +50,24 @@ def mine_templates_stateful(
     stream: DataFrame,
     config: PipelineConfig | None = None,
 ) -> DataFrame:
-    """Streaming masked turns → per-turn template assignments with the Drain
-    leaf state in the state store.
+    """Streaming masked turns → per-trigger distinct-signature template
+    assignments (ASSIGNMENTS schema) with the Drain leaf state in the state
+    store.
 
-    Emits one row per input turn (append mode): (conv_id, turn_idx, ts,
-    masked_sig, template_id, template, creates). ``creates`` is True only on
-    the canonical first-occurrence row of a signature that FOUNDED a new
-    cluster in this micro-batch — templates recovered from state (earlier
-    batches) never re-anchor, exactly like seed templates in the batch path.
+    Emits one row per (micro-batch, distinct signature), append mode:
+    (masked_sig, template_id, template, creates, weight, first_seen,
+    last_seen, first_conv, first_turn). ``creates`` is True only for a
+    signature that FOUNDED a new cluster in its micro-batch — templates
+    recovered from state (earlier batches) never re-anchor, exactly like
+    seed templates in the batch path. The template DIMENSION is
+    sum(weight) grouped by (template_id, template) over this output.
+
+    Convergence: each micro-batch mines with the recovered state as seeds —
+    the same incremental semantics as the foreachBatch pipeline, which
+    converges exactly to the one-shot batch mine when no later batch
+    generalizes a template that earlier rows were already emitted with
+    (append output cannot be retro-updated; the contract corpus satisfies
+    this, asserted by the shared drain golden).
 
     No timeout: leaf state is the template dimension itself and must never
     expire (drain.go keeps the tree for the process lifetime; the dimension
@@ -75,37 +92,58 @@ def mine_templates_stateful(
     )
 
     def fn(key, pdfs, state):
-        rows = pd.concat(list(pdfs), ignore_index=True)
         seeds = list(state.get[0]) if state.exists else []
-        # Canonical first occurrence per distinct signature WITHIN the batch:
-        # (conv_id, turn_idx) pairs are unique per transcript, so the sort is
-        # deterministic regardless of arrow batch arrival order.
-        first = rows.sort_values(["conv_id", "turn_idx"]).drop_duplicates(
-            "masked_sig", keep="first"
-        )
-        sigs = first["masked_sig"].tolist()
-        convs = first["conv_id"].tolist()
-        turns = first["turn_idx"].tolist()
+        # Fold Arrow chunks into per-signature stats incrementally — each
+        # chunk is reduced (vectorized) before the next arrives, so a hot
+        # template's row volume never accumulates in Python memory.
+        partials = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            grp = pdf.groupby("masked_sig")
+            agg = pd.DataFrame(
+                {
+                    "weight": grp.size(),
+                    "first_seen": grp["ts"].min(),
+                    "last_seen": grp["ts"].max(),
+                }
+            ).reset_index()
+            firsts = (
+                pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                .drop_duplicates("masked_sig", keep="first")[
+                    ["masked_sig", "conv_id", "turn_idx"]
+                ]
+            )
+            partials.append(agg.merge(firsts, on="masked_sig"))
+            if len(partials) > 8:  # keep the carry O(distinct), not O(chunks)
+                partials = [_combine(pd, partials)]
+        if not partials:
+            # NoTimeout → the handler only fires with data; guard anyway.
+            yield pd.DataFrame(
+                columns=[
+                    "masked_sig", "template_id", "template", "creates",
+                    "weight", "first_seen", "last_seen", "first_conv", "first_turn",
+                ]
+            )
+            return
+        stats = _combine(pd, partials)
+
+        sigs = stats["masked_sig"].tolist()
+        convs = stats["conv_id"].tolist()
+        turns = stats["turn_idx"].tolist()
         assigned, final_patterns = cluster_leaf(sigs, convs, turns, seeds, sim)
         state.update((final_patterns,))
-
-        amap = dict(zip(sigs, assigned))
-        canon = {s: (c, t) for s, c, t in zip(sigs, convs, turns)}
-        tids, tmpls, creates = [], [], []
-        for s, c, t in zip(rows["masked_sig"], rows["conv_id"], rows["turn_idx"]):
-            tid, tmpl, anch = amap[s]
-            tids.append(tid)
-            tmpls.append(tmpl)
-            creates.append(bool(anch) and canon[s] == (c, t))
         yield pd.DataFrame(
             {
-                "conv_id": rows["conv_id"],
-                "turn_idx": rows["turn_idx"],
-                "ts": rows["ts"],
-                "masked_sig": rows["masked_sig"],
-                "template_id": tids,
-                "template": tmpls,
-                "creates": creates,
+                "masked_sig": sigs,
+                "template_id": [a[0] for a in assigned],
+                "template": [a[1] for a in assigned],
+                "creates": [a[2] for a in assigned],
+                "weight": stats["weight"].astype("int64"),
+                "first_seen": stats["first_seen"],
+                "last_seen": stats["last_seen"],
+                "first_conv": convs,
+                "first_turn": stats["turn_idx"].astype("int32"),
             }
         )
 
@@ -116,3 +154,24 @@ def mine_templates_stateful(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def _combine(pd, partials):
+    """Merge per-chunk signature stats: weights add, ts bounds widen, the
+    canonical first occurrence is the lexicographic (conv, turn) minimum."""
+    allp = pd.concat(partials, ignore_index=True)
+    grp = allp.groupby("masked_sig")
+    agg = pd.DataFrame(
+        {
+            "weight": grp["weight"].sum(),
+            "first_seen": grp["first_seen"].min(),
+            "last_seen": grp["last_seen"].max(),
+        }
+    ).reset_index()
+    firsts = (
+        allp.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .drop_duplicates("masked_sig", keep="first")[
+            ["masked_sig", "conv_id", "turn_idx"]
+        ]
+    )
+    return agg.merge(firsts, on="masked_sig")

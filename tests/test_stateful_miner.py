@@ -1,7 +1,8 @@
 """T4 via the arbitrary-stateful path: Drain leaf state in the state store
 (streaming.stateful_miner). Single-batch output must equal the batch miner
-(shared cluster_leaf core); leaf state must survive a query restart and seed
-the next micro-batch exactly like committed templates seed foreachBatch.
+(shared cluster_leaf core, ASSIGNMENTS shape); leaf state must survive a
+query restart and seed the next micro-batch exactly like committed templates
+seed foreachBatch.
 """
 
 import datetime as dt
@@ -41,8 +42,9 @@ def _run(spark, in_path, tmp_path, name="smq"):
 
 def test_single_batch_matches_batch_miner(spark, tmp_path):
     """One micro-batch with empty state = the batch miner exactly: same
-    distinct (sig → template_id, template) map, one output row per non-empty
-    input row, creates anchored on canonical first occurrences only."""
+    per-signature (template_id, template, creates, weight, first_conv,
+    first_turn, first_seen, last_seen) rows — the shared cluster_leaf core
+    plus the handler's chunked stats fold reproduce stage 2 + 3."""
     rows = [
         ("c0", 0, "user", "connect failed to alpha", "none", T0),
         ("c0", 1, "user", "connect failed to beta", "none", T0 + dt.timedelta(seconds=1)),
@@ -54,21 +56,20 @@ def test_single_batch_matches_batch_miner(spark, tmp_path):
     in_path = str(tmp_path / "in1")
     df.repartition(1).write.parquet(in_path)
 
-    got = _run(spark, in_path, tmp_path, "single")
-    out = got.collect()
-    assert len(out) == 4  # blank row filtered, everything else assigned
+    def keymap(rows_):
+        return {
+            r.masked_sig: (
+                r.template_id, r.template, r.creates, r.weight,
+                r.first_conv, r.first_turn, r.first_seen, r.last_seen,
+            )
+            for r in rows_
+        }
 
-    batch = mine_assignments(parse.masked_transcripts(df)).collect()
-    batch_map = {r.masked_sig: (r.template_id, r.template) for r in batch}
-    stream_map = {r.masked_sig: (r.template_id, r.template) for r in out}
-    assert stream_map == batch_map
-
-    # creates: exactly one anchor row per founded template, on the canonical
-    # (conv, turn) first occurrence of the founding signature.
-    anchors = {(r.conv_id, r.turn_idx) for r in out if r.creates}
-    founded = {r.masked_sig for r in batch if r.creates}
-    assert len(anchors) == len(founded)
-    assert ("c1", 0) not in anchors  # duplicate sig, canonical row is ("c0", 0)
+    got = keymap(_run(spark, in_path, tmp_path, "single").collect())
+    want = keymap(mine_assignments(parse.masked_transcripts(df)).collect())
+    assert got == want
+    assert len(got) == 3  # blank row filtered; "alpha" sig deduped with weight 2
+    assert any(v[3] == 2 for v in got.values())
 
 
 def test_state_survives_restart_and_seeds_next_batch(spark, tmp_path):
@@ -102,18 +103,18 @@ def test_state_survives_restart_and_seeds_next_batch(spark, tmp_path):
     )
     batch2.repartition(1).write.mode("append").parquet(in_path)
     both = _run(spark, in_path, tmp_path, "restart").collect()
-    second = [r for r in both if r.conv_id == "b0"]
-    by_text = {r.masked_sig: r for r in second}
+    second = [r for r in both if r.first_conv == "b0"]
+    by_sig = {r.masked_sig: r for r in second}
 
-    repeat = by_text["queue length stable"]
+    repeat = by_sig["queue length stable"]
     assert repeat.template_id == tid1["queue length stable"]
     assert not repeat.creates
 
-    near = by_text["connect failed to gamma"]
+    near = by_sig["connect failed to gamma"]
     assert "<*>" in near.template  # state template generalized, not re-founded
     assert not near.creates
 
-    fresh = by_text["totally new shape"]
+    fresh = by_sig["totally new shape"]
     assert fresh.creates
 
 
@@ -128,6 +129,6 @@ def test_empty_state_array_roundtrip(spark, tmp_path):
     again = _tr(spark, [("d", 0, "user", "ping host alpha", "none", T0 + dt.timedelta(minutes=1))])
     again.repartition(1).write.mode("append").parquet(in_path)
     rows = _run(spark, in_path, tmp_path, "rt").collect()
-    latest = [r for r in rows if r.conv_id == "d"]
+    latest = [r for r in rows if r.first_conv == "d"]
     assert {r.template_id for r in latest} == first
     assert not any(r.creates for r in latest)

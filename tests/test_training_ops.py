@@ -817,11 +817,51 @@ def test_repetition_scores_hand_computed(spark):
     assert d.top_2gram_char_frac == pytest.approx(round(6 / 15, 6))
 
 
-def test_repetition_scores_zero_shuffle_plan(spark):
+def test_repetition_scores_zero_shuffle_plan(spark, sf_dir):
     """The 100 TB property: per-doc metrics must not shuffle. The physical
     plan over a parquet scan must contain no Exchange at all."""
+    import os
+
     from log_parser_mind_spark.operators.curate import repetition_scores
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Pin the probe/recall contract from both ends: probing EVERY list
+    (n_probe = n_centroids) makes IVF candidate sets the whole corpus, so
+    results must equal brute force exactly; recall is monotone in n_probe
+    (candidate sets only grow). This is the identity that justifies calling
+    IVF an ANN of the exact search rather than a different metric."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 4
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, [float(x) for x in centers[c] + 0.3 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 30")
+    c = emb.filter("vec_id >= 30")
+
+    exact = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 6), r.rank)
+        for r in similarity.brute_force_topk(q, c, k=3).collect()
+    }
+    top1_exact = {(a, b) for a, b, _, rk in exact if rk == 1}
+
+    recalls = []
+    for n_probe in (1, 2, 4):
+        res = similarity.ivf_topk(q, c, k=3, n_centroids=4, n_probe=n_probe, dim=16)
+        rows_ = res.collect()
+        if n_probe == 4:
+            got_full = {
+                (r.query_id, r.neighbor_id, round(r.cosine, 6), r.rank) for r in rows_
+            }
+            assert got_full == exact  # full probe IS the exact search
+        top1 = {(r.query_id, r.neighbor_id) for r in rows_ if r.rank == 1}
+        recalls.append(len(top1 & top1_exact) / len(top1_exact))
+    assert recalls[0] <= recalls[1] <= recalls[2] == 1.0, recalls
