@@ -1343,6 +1343,59 @@ LEFT JOIN top3 t3 USING (doc_id)
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """C4-style global span dedup (curate.dedup_paragraphs): a promo
+    paragraph is attached to ~half the documents (prepended when
+    doc_id % 3 == 0, appended when doc_id % 5 == 1), then every repeated
+    paragraph keeps only its minimum (doc, pos) occurrence corpus-wide.
+    Skew-safe scale shape: canonical occurrence via hash-groupBy min-struct
+    (map-side combine absorbs the hot paragraph), never a window over the
+    paragraph key. Oracle replicates construction + canonical-keep +
+    reassembly relationally."""
+    from log_parser_mind_spark.operators.curate import dedup_paragraphs
+
+    promo = "Subscribe to our newsletter for weekly updates"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(promo + "\n\n"), F.col("text")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit("\n\n" + promo)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_paragraphs(docs).select("doc_id", "text")
+
+
+_ORACLE_PARAGRAPH_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+                THEN 'Subscribe to our newsletter for weekly updates' || chr(10) || chr(10) || text
+              WHEN doc_id % 5 = 1
+                THEN text || chr(10) || chr(10) || 'Subscribe to our newsletter for weekly updates'
+              ELSE text END AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id, u.ord - 1 AS pos, u.para,
+         lower(regexp_replace(trim(u.para), '\s+', ' ', 'g')) AS norm
+  FROM d, LATERAL (
+    SELECT unnest(string_split(coalesce(text,''), chr(10)||chr(10))) AS para,
+           generate_subscripts(string_split(coalesce(text,''), chr(10)||chr(10)), 1) AS ord
+  ) u
+), ranked AS (
+  SELECT doc_id, pos, para, norm = '' AS exempt,
+         row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+  FROM paras
+), kept AS (
+  SELECT doc_id, pos, para FROM ranked WHERE exempt OR rn = 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean, '') AS text
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_training_mixture(spark, sf_dir):
     """Training-mix assembly (sample.weighted_mixture): en docs at 60%, the
     rest at 20%, per-source salted so overlapping keys draw independent coin
@@ -1894,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_corpus": q_decontaminated_corpus,
         "boilerplate_stripped": q_boilerplate_stripped,
         "repetition_scores": q_repetition_scores,
+        "paragraph_dedup": q_paragraph_dedup,
         "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
@@ -1993,6 +2047,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminated_corpus": _ORACLE_DECONTAMINATED,
         "boilerplate_stripped": _ORACLE_BOILERPLATE,
         "repetition_scores": _ORACLE_REPETITION,
+        "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
         "training_mixture": _ORACLE_TRAINING_MIXTURE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,

@@ -392,3 +392,71 @@ def repetition_scores(
         ratio(_top_gram_val(F.col("_g2")), text_len).alias("top_2gram_char_frac"),
         ratio(_top_gram_val(F.col("_g3")), text_len).alias("top_3gram_char_frac"),
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style global SPAN dedup: a paragraph (``sep``-separated segment,
+    whitespace-normalized + case-folded identity) that occurs anywhere else
+    in the corpus keeps only its CANONICAL first occurrence — the minimum
+    (doc, position) — and is dropped everywhere else; remaining paragraphs
+    are reassembled in their original order. Differs from strip_boilerplate
+    (which drops EVERY occurrence of a frequent line): here one copy always
+    survives, so unique content is never lost, only repetition.
+
+    Paragraphs whose normalized form is shorter than ``min_chars`` (default:
+    only blanks) are exempt — they are document structure, not content, and
+    deduping "Introduction" across a corpus would mangle every doc but one.
+    Docs reduced to nothing survive as empty strings (rows must not vanish —
+    downstream joins key on them).
+
+    Scale shape: posexplode → canonical occurrence via
+    ``groupBy(xxhash64(norm)).agg(min(struct(doc, pos)))`` — partial
+    aggregation collapses a paragraph repeated a billion times map-side, so
+    the hot-key skew a WINDOW over the same partitioning would funnel into
+    one sorted partition never reaches the exchange (this is why it is not
+    row_number over partitionBy(norm)). Verdict join back on the 8-byte
+    hash, then one reassembly groupBy per doc. Paragraph text crosses the
+    wire once; the dedup decision itself moves only hashes and (id, pos)
+    pairs."""
+    from . import dedup as dd
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.split(text, sep)).alias("pos", "para"),
+    )
+    keyed = (
+        paras.withColumn("_norm", dd.normalized_text(F.col("para")))
+        .withColumn("_exempt", F.length("_norm") < min_chars)
+        .withColumn("_pk", F.xxhash64("_norm"))
+    )
+    canon = (
+        keyed.filter(~F.col("_exempt"))
+        .groupBy("_pk")
+        .agg(F.min(F.struct(F.col("_id").alias("d"), F.col("pos").alias("p"))).alias("_first"))
+    )
+    kept = keyed.join(canon, on="_pk", how="left").filter(
+        F.col("_exempt")
+        | ((F.col("_first.d") == F.col("_id")) & (F.col("_first.p") == F.col("pos")))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("_clean")
+    )
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+        .drop("_clean")
+    )

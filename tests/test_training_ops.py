@@ -865,3 +865,48 @@ def test_ivf_full_probe_equals_brute_force(spark):
         top1 = {(r.query_id, r.neighbor_id) for r in rows_ if r.rank == 1}
         recalls.append(len(top1 & top1_exact) / len(top1_exact))
     assert recalls[0] <= recalls[1] <= recalls[2] == 1.0, recalls
+
+
+def test_dedup_paragraphs_keeps_canonical_occurrence(spark):
+    """Global span dedup: a repeated paragraph keeps exactly its minimum
+    (doc, pos) occurrence — across docs, within a doc, and under whitespace/
+    case normalization; blank segments are exempt structure; NULL/empty and
+    fully-deduped docs survive as empty strings."""
+    from log_parser_mind_spark.operators.curate import dedup_paragraphs
+
+    rows = [
+        (0, "alpha beta\n\nshared para\n\nuniq0"),
+        (1, "shared para\n\nuniq1"),
+        (2, "  SHARED   para \n\nuniq2"),   # normalized identity match
+        (3, ""),
+        (4, None),
+        (5, "shared para"),                 # whole doc is the dup
+        (6, "par one\n\n\n\npar one"),      # in-doc dup + blank exempt
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup_paragraphs(docs).collect()}
+    assert got == {
+        0: "alpha beta\n\nshared para\n\nuniq0",
+        1: "uniq1",
+        2: "uniq2",
+        3: "",
+        4: "",
+        5: "",
+        6: "par one\n\n",
+    }
+
+
+def test_dedup_paragraphs_skew_safe_plan(spark, sf_dir):
+    """The canonical-occurrence pass must be a hash aggregate (map-side
+    combine absorbs a billion-fold repeated paragraph), never a Window over
+    the paragraph key (which funnels the hot key into one sorted
+    partition)."""
+    import os
+
+    from log_parser_mind_spark.operators.curate import dedup_paragraphs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = dedup_paragraphs(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final around the exchange
