@@ -1343,6 +1343,31 @@ LEFT JOIN top3 t3 USING (doc_id)
 """
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training export
+    (sample.global_shuffle): shard + position from two independent MINSTD
+    draws over the key — a reproducible total order at any parallelism,
+    unlike orderBy(rand()). Oracle recomputes the same integer arithmetic
+    and window rank in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_ops.global_shuffle(docs, n_shards=16, salt=11).select(
+        "doc_id", "shard", "pos_in_shard"
+    )
+
+
+_ORACLE_GLOBAL_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         (((((doc_id % 2147483647) * 48271 + 11) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 16 AS shard,
+         ((((doc_id % 2147483647) * 48271 + 777000012) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS oh
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS pos_in_shard
+FROM h
+"""
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """C4-style global span dedup (curate.dedup_paragraphs): a promo
     paragraph is attached to ~half the documents (prepended when
@@ -1948,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_stripped": q_boilerplate_stripped,
         "repetition_scores": q_repetition_scores,
         "paragraph_dedup": q_paragraph_dedup,
+        "global_shuffle": q_global_shuffle,
         "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
@@ -2048,6 +2074,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_stripped": _ORACLE_BOILERPLATE,
         "repetition_scores": _ORACLE_REPETITION,
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
+        "global_shuffle": _ORACLE_GLOBAL_SHUFFLE,
         "training_mixture": _ORACLE_TRAINING_MIXTURE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,

@@ -158,3 +158,40 @@ def weighted_mixture(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def global_shuffle(
+    docs: DataFrame,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic global pseudo-random permutation for training export:
+    adds ``shard`` (minstd(key) mod n_shards) and ``pos_in_shard`` (0-based
+    rank by an INDEPENDENT second minstd draw, key as tie-break) — together
+    a total order over the corpus that is reproducible at any parallelism,
+    partitioning, or engine, unlike df.orderBy(rand()). Reading shards in
+    index order with each shard in pos order replays the exact same
+    training-data order every time; composing with pack_corpus (pack the
+    shuffled position instead of raw key order) gives shuffled sequence
+    packing.
+
+    Scale shape: ONE exchange by shard and a shard-local sort —
+    no global sort. n_shards ≫ executor count keeps parallelism; the
+    expected shard imbalance is multinomial (√n), not adversarial, because
+    the shard key is a hash, not a data attribute."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # Offset chosen coprime-ish and large so the order draw shares no
+    # low-order structure with the shard draw (independent MINSTD streams,
+    # same trick as weighted_mixture's per-source salts).
+    order_salt = salt + 777_000_001
+    w = Window.partitionBy("shard").orderBy("_oh", key_col)
+    return (
+        docs.withColumn(
+            "shard", F.pmod(_minstd(key_col, salt), F.lit(int(n_shards)).cast("long"))
+        )
+        .withColumn("_oh", _minstd(key_col, order_salt))
+        .withColumn("pos_in_shard", F.row_number().over(w) - 1)
+        .drop("_oh")
+    )

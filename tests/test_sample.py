@@ -109,3 +109,32 @@ def test_weighted_mixture_independence_and_tags(spark):
 
     with pytest.raises(ValueError):
         sm.weighted_mixture([])
+
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    """(shard, pos_in_shard) is a bijection over the corpus — contiguous
+    0-based positions per shard — identical under repartitioning, and the
+    order within a shard is NOT the key order (it is actually shuffled)."""
+    from log_parser_mind_spark.operators.sample import global_shuffle
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(docs, n_shards=8, salt=3)
+    rows = out.collect()
+    assert len(rows) == 500
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        poss = sorted(r.pos_in_shard for r in rs)
+        assert poss == list(range(len(rs)))  # contiguous, 0-based
+        in_pos_order = [r.doc_id for r in sorted(rs, key=lambda r: r.pos_in_shard)]
+        assert in_pos_order != sorted(in_pos_order)  # genuinely permuted
+
+    again = {
+        (r.doc_id, r.shard, r.pos_in_shard)
+        for r in global_shuffle(docs.repartition(13), n_shards=8, salt=3).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.pos_in_shard) for r in rows}
+
+    with pytest.raises(ValueError):
+        global_shuffle(docs, n_shards=0)
