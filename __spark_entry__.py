@@ -1343,6 +1343,35 @@ LEFT JOIN top3 t3 USING (doc_id)
 """
 
 
+def q_length_profile(spark, sf_dir):
+    """Per-source corpus length profile (curate.length_profile): count,
+    char/token means, exact interpolated p50/p90/p99 of char length — the
+    same linear-interpolation definition as DuckDB quantile_cont, so the
+    oracle recomputes it; percentile_approx is the documented
+    high-cardinality scale path with identical columns."""
+    from log_parser_mind_spark.operators.curate import length_profile
+
+    return length_profile(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_LENGTH_PROFILE = r"""
+WITH base AS (
+  SELECT source,
+         length(coalesce(text, '')) AS nc,
+         len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '')) AS nt
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(nc), 6) AS mean_chars,
+       round(avg(nt), 6) AS mean_tokens,
+       round(quantile_cont(nc, 0.5), 6) AS p50_chars,
+       round(quantile_cont(nc, 0.9), 6) AS p90_chars,
+       round(quantile_cont(nc, 0.99), 6) AS p99_chars
+FROM base GROUP BY source
+"""
+
+
 def q_global_shuffle(spark, sf_dir):
     """Deterministic global shuffle for training export
     (sample.global_shuffle): shard + position from two independent MINSTD
@@ -1974,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "paragraph_dedup": q_paragraph_dedup,
         "global_shuffle": q_global_shuffle,
+        "length_profile": q_length_profile,
         "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
@@ -2075,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": _ORACLE_REPETITION,
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
         "global_shuffle": _ORACLE_GLOBAL_SHUFFLE,
+        "length_profile": _ORACLE_LENGTH_PROFILE,
         "training_mixture": _ORACLE_TRAINING_MIXTURE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,

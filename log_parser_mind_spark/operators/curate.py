@@ -460,3 +460,38 @@ def dedup_paragraphs(
         .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
         .drop("_clean")
     )
+
+
+def length_profile(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group corpus length profile — the distribution report every
+    curation round starts from: doc count, char/token means, and p50/p90/p99
+    of character length.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` (the same
+    linear-interpolation definition as DuckDB's quantile_cont, so the
+    contract oracle can recompute it); it buffers each GROUP's values, fine
+    for the handful-of-sources grouping here. At 100 TB with high-cardinality
+    groups pass ``exact=False`` for ``percentile_approx`` (t-digest-style
+    sketch, mergeable map-side, bounded memory) — same columns, approximate
+    values."""
+    from ..functions.text import ws_tokens_expr
+
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    n_tokens = F.size(ws_tokens_expr(F.col(text_col)))
+    pct = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, 10_000)
+    )
+    base = docs.select(F.col(by), n_chars.alias("_nc"), n_tokens.alias("_nt"))
+    return base.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_nc"), 6).alias("mean_chars"),
+        F.round(F.avg("_nt"), 6).alias("mean_tokens"),
+        F.round(pct(F.col("_nc"), F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(pct(F.col("_nc"), F.lit(0.9)), 6).alias("p90_chars"),
+        F.round(pct(F.col("_nc"), F.lit(0.99)), 6).alias("p99_chars"),
+    )

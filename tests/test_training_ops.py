@@ -910,3 +910,21 @@ def test_dedup_paragraphs_skew_safe_plan(spark, sf_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final around the exchange
+
+
+def test_length_profile_exact_and_approx(spark):
+    """Exact profile matches hand-computed interpolated percentiles; the
+    approx variant (the high-cardinality scale path) has the same schema
+    and lands near the exact numbers on a small frame."""
+    from log_parser_mind_spark.operators.curate import length_profile
+
+    rows = [(i, "x " * i, "s") for i in range(1, 6)]  # n_chars = 2*i
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = length_profile(docs).collect()[0]
+    assert got.n_docs == 5
+    assert got.mean_chars == pytest.approx(6.0)  # (2+4+6+8+10)/5
+    assert got.p50_chars == pytest.approx(6.0)
+    assert got.p90_chars == pytest.approx(9.2)   # linear interpolation
+    approx = length_profile(docs, exact=False).collect()[0]
+    assert set(approx.asDict()) == set(got.asDict())
+    assert abs(approx.p50_chars - got.p50_chars) <= 2.0
