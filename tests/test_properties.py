@@ -148,3 +148,90 @@ def test_minstd_mirror_matches_spark_expression(spark):
         for r in df.select("doc_id", sm._minstd("doc_id", 7).alias("h")).collect()
     }
     assert got == {k: minstd_py(k, 7) for k in keys}
+
+
+# ---------------------------------------------------------------------------
+# r4 second wave: repetition metrics + global paragraph dedup vs pure-Python
+# references over adversarial whitespace-heavy texts (one Spark job per
+# example — the whole generated corpus goes through in a single DataFrame).
+# ---------------------------------------------------------------------------
+
+def _rep_py(text):
+    """Reference for curate.repetition_scores (documented semantics)."""
+    import re
+
+    t = text or ""
+    lines = [l for l in t.split("\n") if l.strip(" ") != ""]
+    n_lines = len(lines)
+    from collections import Counter
+
+    lc = Counter(lines)
+    dup_cnt = sum(c for c in lc.values() if c > 1)
+    dup_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
+    tot_chars = sum(c * len(l) for l, c in lc.items())
+    toks = [x for x in re.split(r"\s+", t.lower()) if x != ""]
+
+    def top(n):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return 0
+        gc = Counter(grams)
+        best = max(gc.items(), key=lambda kv: (kv[1], len(kv[0])))
+        return best[1] * len(best[0])
+
+    r = lambda num, den: round(num / den, 6) if den > 0 else 0.0  # noqa: E731
+    return (
+        n_lines,
+        r(dup_cnt, n_lines),
+        r(dup_chars, tot_chars),
+        r(top(2), len(t)),
+        r(top(3), len(t)),
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet=" abc\n", max_size=40), min_size=1, max_size=12))
+def test_repetition_scores_matches_python_reference(spark, texts):
+    from log_parser_mind_spark.operators.curate import repetition_scores
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+            r.top_2gram_char_frac, r.top_3gram_char_frac,
+        )
+        for r in repetition_scores(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(_rep_py(t)), (i, t)
+
+
+def _paragraph_dedup_py(texts):
+    """Reference for curate.dedup_paragraphs: global first-occurrence keep in
+    (doc, pos) order, blank-normalized paragraphs exempt."""
+    import re
+
+    norm = lambda p: re.sub(r"\s+", " ", p.strip(" ")).lower()  # noqa: E731
+    seen = set()
+    out = {}
+    for i, t in enumerate(texts):
+        kept = []
+        for p in (t or "").split("\n\n"):
+            n = norm(p)
+            if n == "":
+                kept.append(p)
+            elif n not in seen:
+                seen.add(n)
+                kept.append(p)
+        out[i] = "\n\n".join(kept)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet=" ab\n", max_size=50), min_size=1, max_size=12))
+def test_dedup_paragraphs_matches_python_reference(spark, texts):
+    from log_parser_mind_spark.operators.curate import dedup_paragraphs
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup_paragraphs(docs).collect()}
+    assert got == _paragraph_dedup_py(texts)
