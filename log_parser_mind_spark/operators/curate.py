@@ -178,6 +178,14 @@ def decontaminate(
     return corpus.join(dirty, id_col, "left_anti")
 
 
+def _regex_literal(sep: str) -> str:
+    """Quote a literal separator for Java-regex F.split (Pattern.quote
+    algorithm: \\Q...\\E with embedded \\E escaped) — without this, a caller
+    passing sep='|' or '. ' would silently split on the regex reading and
+    reassemble with the literal, mangling every document."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def strip_boilerplate(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -207,9 +215,9 @@ def strip_boilerplate(
     line_key = F.xxhash64(dedup.normalized_text(F.col("line")))
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode_outer(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
-            "pos", "line"
-        ),
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _regex_literal(sep))
+        ).alias("pos", "line"),
     )
     freq = (
         lines.select(line_key.alias("lk"), "_id")
@@ -415,50 +423,66 @@ def dedup_paragraphs(
     Docs reduced to nothing survive as empty strings (rows must not vanish —
     downstream joins key on them).
 
-    Scale shape: posexplode → canonical occurrence via
-    ``groupBy(xxhash64(norm)).agg(min(struct(doc, pos)))`` — partial
-    aggregation collapses a paragraph repeated a billion times map-side, so
-    the hot-key skew a WINDOW over the same partitioning would funnel into
-    one sorted partition never reaches the exchange (this is why it is not
-    row_number over partitionBy(norm)). Verdict join back on the 8-byte
-    hash, then one reassembly groupBy per doc. Paragraph text crosses the
-    wire once; the dedup decision itself moves only hashes and (id, pos)
-    pairs."""
+    Scale shape — the dedup decision never moves paragraph TEXT at all: the
+    exploded table carries only (id, pos, xxhash64(norm)), the canonical
+    occurrence comes from ``groupBy(hash).agg(min(struct(doc, pos)))``
+    (partial aggregation collapses a paragraph repeated a billion times
+    map-side — the hot-key skew a WINDOW over the same key would funnel into
+    one sorted partition never reaches the exchange), and the kept POSITIONS
+    are folded back to one int-array row per doc. Document text crosses the
+    wire exactly once, in the final rebuild join by doc id, where the kept
+    paragraphs are re-extracted from the original text by position (one
+    extra split per doc — CPU traded for the shuffle of every paragraph
+    string, the right side of that trade at 100 TB)."""
     from . import dedup as dd
 
+    lit_sep = _regex_literal(sep)
     text = F.coalesce(F.col(text_col), F.lit(""))
-    paras = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode_outer(F.split(text, sep)).alias("pos", "para"),
-    )
+    # _norm materialized in its OWN projection: Catalyst does not CSE the
+    # regex-normalization chain, and the next step references it twice
+    # (length + hash) — the trap documented at functions/text.py:43-48.
     keyed = (
-        paras.withColumn("_norm", dd.normalized_text(F.col("para")))
-        .withColumn("_exempt", F.length("_norm") < min_chars)
-        .withColumn("_pk", F.xxhash64("_norm"))
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode_outer(F.split(text, lit_sep)).alias("pos", "para"),
+        )
+        .withColumn("_norm", dd.normalized_text(F.col("para")))
+        .select(
+            "_id",
+            "pos",
+            (F.length("_norm") < min_chars).alias("_exempt"),
+            F.xxhash64("_norm").alias("_pk"),
+        )
     )
     canon = (
         keyed.filter(~F.col("_exempt"))
         .groupBy("_pk")
         .agg(F.min(F.struct(F.col("_id").alias("d"), F.col("pos").alias("p"))).alias("_first"))
     )
-    kept = keyed.join(canon, on="_pk", how="left").filter(
-        F.col("_exempt")
-        | ((F.col("_first.d") == F.col("_id")) & (F.col("_first.p") == F.col("pos")))
+    kept_pos = (
+        keyed.join(canon, on="_pk", how="left")
+        .filter(
+            F.col("_exempt")
+            | ((F.col("_first.d") == F.col("_id")) & (F.col("_first.p") == F.col("pos")))
+        )
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("_keep"))
     )
-    rebuilt = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-            sep,
-        ).alias("_clean")
+    # Split materialized once per row — a split inlined into the transform
+    # lambda would re-split the document for EVERY kept position.
+    rebuilt_text = F.array_join(
+        F.transform(
+            F.coalesce(F.col("_keep"), F.array().cast("array<int>")),
+            lambda p: F.element_at(F.col("_parts"), p + 1),
+        ),
+        sep,
     )
     return (
-        docs.join(rebuilt, docs[id_col] == rebuilt["_id"], "left")
+        docs.join(kept_pos, docs[id_col] == kept_pos["_id"], "left")
         .drop("_id")
-        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
-        .drop("_clean")
+        .withColumn("_parts", F.split(text, lit_sep))
+        .withColumn(text_col, rebuilt_text)
+        .drop("_keep", "_parts")
     )
 
 

@@ -91,6 +91,8 @@ def pack_corpus(
     key_col: str = "doc_id",
     text_col: str = "text",
     salt: int = 0,
+    shard_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing: assign each doc to a (shard, pack_id) such that
     consecutive docs in a shard fill ≈``budget_tokens`` per pack.
@@ -109,7 +111,14 @@ def pack_corpus(
 
     Scale shape: ONE shuffle by shard (n_shards ≫ executor count keeps
     parallelism), running sum + pack derivation inside the shard window;
-    equivalent SQL window functions run in the DuckDB oracle."""
+    equivalent SQL window functions run in the DuckDB oracle.
+
+    ``shard_col`` / ``order_col`` override the internally-derived shard and
+    the key packing order with EXISTING columns — the composition hook for
+    shuffled sequence packing: ``pack_corpus(global_shuffle(docs), ...,
+    shard_col="shard", order_col="pos_in_shard")`` packs each shard in its
+    shuffled position order ((shard, pos_in_shard) is unique, so the window
+    order stays deterministic; ``key_col`` remains the final tie-break)."""
     from ..functions.text import ws_tokens_expr
 
     if "n_tokens" in docs.columns:
@@ -118,8 +127,13 @@ def pack_corpus(
         with_tok = docs.withColumn(
             "n_tokens", F.coalesce(F.size(ws_tokens_expr(F.col(text_col))), F.lit(0))
         )
-    shard = F.pmod(_minstd(key_col, salt), F.lit(n_shards).cast("long"))
-    w = Window.partitionBy("shard").orderBy(key_col)
+    shard = (
+        F.col(shard_col).cast("long")
+        if shard_col is not None
+        else F.pmod(_minstd(key_col, salt), F.lit(n_shards).cast("long"))
+    )
+    order = [order_col, key_col] if order_col is not None else [key_col]
+    w = Window.partitionBy("shard").orderBy(*order)
     return (
         with_tok.withColumn("shard", shard)
         .withColumn("_cum", F.sum("n_tokens").over(w))
@@ -172,9 +186,10 @@ def global_shuffle(
     a total order over the corpus that is reproducible at any parallelism,
     partitioning, or engine, unlike df.orderBy(rand()). Reading shards in
     index order with each shard in pos order replays the exact same
-    training-data order every time; composing with pack_corpus (pack the
-    shuffled position instead of raw key order) gives shuffled sequence
-    packing.
+    training-data order every time; shuffled sequence packing is
+    ``pack_corpus(global_shuffle(docs), ..., shard_col="shard",
+    order_col="pos_in_shard")`` — the packer reuses this op's shard and
+    packs it in shuffled position order.
 
     Scale shape: ONE exchange by shard and a shard-local sort —
     no global sort. n_shards ≫ executor count keeps parallelism; the

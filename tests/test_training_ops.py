@@ -928,3 +928,41 @@ def test_length_profile_exact_and_approx(spark):
     approx = length_profile(docs, exact=False).collect()[0]
     assert set(approx.asDict()) == set(got.asDict())
     assert abs(approx.p50_chars - got.p50_chars) <= 2.0
+
+
+def test_span_ops_treat_sep_as_literal(spark):
+    """sep must be literal, not Java regex: '|' (regex: empty alternation)
+    and '. ' (any-char + space) must split and reassemble exactly."""
+    from log_parser_mind_spark.operators.curate import dedup_paragraphs, strip_boilerplate
+
+    rows = [(0, "keep me|shared"), (1, "shared|keep too")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup_paragraphs(docs, sep="|").collect()}
+    assert got == {0: "keep me|shared", 1: "keep too"}
+
+    b = strip_boilerplate(docs, sep="|", min_docs=2)
+    assert {r.doc_id: r.text for r in b.collect()} == {0: "keep me", 1: "keep too"}
+
+
+def test_shuffled_sequence_packing_composition(spark):
+    """The documented composition: pack_corpus over global_shuffle's shard
+    in pos_in_shard order — packs follow the SHUFFLED order (not key order)
+    and the running-sum budget law still holds per pack."""
+    from log_parser_mind_spark.operators.sample import global_shuffle, pack_corpus
+
+    docs = spark.range(0, 120).selectExpr("id as doc_id", "repeat('w ', 10) as text")
+    shuffled = global_shuffle(docs, n_shards=4, salt=5)
+    packed = pack_corpus(
+        shuffled, budget_tokens=35, shard_col="shard", order_col="pos_in_shard"
+    )
+    rows = packed.collect()
+    assert len(rows) == 120
+    pos = {r.doc_id: r for r in shuffled.collect()}
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r.shard, r.pack_id), []).append(r)
+    for (_, _), members in by_pack.items():
+        assert sum(m.n_tokens for m in members) <= 35 + 10  # overflow ≤ last doc
+        # members are consecutive in SHUFFLED order within the shard
+        ps = sorted(pos[m.doc_id].pos_in_shard for m in members)
+        assert ps == list(range(ps[0], ps[0] + len(ps)))
