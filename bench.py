@@ -95,6 +95,17 @@ def main() -> None:
     # explode+xxhash64+bit-majority rewrite)
     timed("dedup_simhash", lambda: _noop(dedup.simhash_near_dups(docs).drop("ids")))
 
+    # r4 second wave: per-doc repetition metrics (zero-shuffle fold) and
+    # global span dedup (text crosses one exchange). New entries — compare
+    # per-query across rounds; the suite total grew with the suite.
+    from log_parser_mind_spark.operators.curate import dedup_paragraphs, repetition_scores
+
+    timed("repetition_scores", lambda: _noop(repetition_scores(docs)))
+    timed(
+        "paragraph_dedup",
+        lambda: _noop(dedup_paragraphs(docs).select("doc_id", "text")),
+    )
+
     ev = read_table(spark, sf_dir, "events")
     timed(
         "error_rates_events",
