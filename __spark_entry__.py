@@ -1284,6 +1284,40 @@ FROM d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Transitive near-dup clustering (dedup.connected_components): verified
+    minhash pairs (same provably-exhaustive config as minhash_verified_dups)
+    grouped into components by min-label propagation, component_id = min doc
+    id; singleton docs are their own component. The oracle wraps the SAME
+    exhaustive pair SQL in a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, k=32, bands=32, shingle_n=1)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.7, candidates=cand)
+    comps = dedup.connected_components(pairs)
+    return docs.select("doc_id").join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("component_id")
+    )
+
+
+def _oracle_near_dup_components() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_ORACLE_MINHASH_VERIFIED}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM sym
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition quality metrics (curate.repetition_scores):
     duplicate-line fraction (count + char mass) and most-frequent 2-/3-gram
@@ -2004,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "global_shuffle": q_global_shuffle,
         "length_profile": q_length_profile,
+        "near_dup_components": q_near_dup_components,
         "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
@@ -2106,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
         "global_shuffle": _ORACLE_GLOBAL_SHUFFLE,
         "length_profile": _ORACLE_LENGTH_PROFILE,
+        "near_dup_components": _oracle_near_dup_components(),
         "training_mixture": _ORACLE_TRAINING_MIXTURE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,

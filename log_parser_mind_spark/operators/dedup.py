@@ -473,3 +473,76 @@ def cross_corpus_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a verified pair list: transitive-closure
+    grouping (the SlimPajama-style step the keep-smallest pair rule in
+    curate_corpus deliberately approximates — see its stage-2 note), with
+    ``component_id`` = the minimum doc id in the component. Returns one row
+    per node that appears in ``pairs``; callers union singletons back (a
+    doc with no pairs is its own component).
+
+    Algorithm: min-label propagation. Labels start as each node's own id;
+    every iteration each node takes the min of its label and its neighbors'
+    labels (one join edges⋈labels + one groupBy-min — two bounded shuffles
+    per iteration, map-side combine on the min), until a fixpoint. Converges
+    in O(graph diameter) iterations; near-dup graphs are overwhelmingly tiny
+    cliques and short chains, so the loop is shallow. The driver-side
+    convergence check (one count per iteration) is the same
+    inherently-iterative pattern as IVF's Lloyd loop. ``max_iter`` bounds a
+    pathological chain and raises LOUDLY rather than returning an
+    unconverged (wrong) labeling. Deterministic at any parallelism: min is
+    order-free.
+
+    At 100 TB: iterations scale with diameter, not corpus size; for
+    adversarial long-chain graphs switch to the large-star/small-star
+    alternating scheme (O(log n) rounds) — not needed for dedup graphs and
+    deliberately not implemented until a real corpus demands it.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            msgs = sym.join(labels, sym["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), F.col("label")
+            )
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("label", "_old"), on="node"
+                )
+                .filter(F.col("label") < F.col("_old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations — "
+            "the pair graph has a longer chain than near-dup graphs should; "
+            "raise max_iter or switch to a star-contraction scheme"
+        )
+    finally:
+        sym.unpersist()

@@ -966,3 +966,34 @@ def test_shuffled_sequence_packing_composition(spark):
         # members are consecutive in SHUFFLED order within the shard
         ps = sorted(pos[m.doc_id].pos_in_shard for m in members)
         assert ps == list(range(ps[0], ps[0] + len(ps)))
+
+
+def test_connected_components_chains_and_cliques(spark):
+    """Min-label propagation: a 4-chain collapses to its min id (transitive,
+    unlike the keep-smallest pair rule), disjoint components stay separate,
+    results are identical under repartitioning, and an over-long chain with
+    max_iter=1 raises instead of returning an unconverged labeling."""
+    pairs = spark.createDataFrame(
+        [(1, 9), (9, 4), (4, 7),   # chain {1,9,4,7} -> 1
+         (20, 21), (21, 20),       # duplicate-ish edges, component {20,21}
+         (30, 31)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 9: 1, 4: 1, 7: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+
+    again = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs.repartition(7)).collect()
+    }
+    assert again == got
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # chain 1-2-3-4-5 needs >1 round for 5 to learn label 1
+        long_chain = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+        )
+        dedup.connected_components(long_chain, max_iter=1)
