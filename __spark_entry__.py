@@ -1284,6 +1284,32 @@ FROM d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide heavy hitters (curate.top_ngrams): top-50 word 2-grams
+    with total + document frequencies, deterministic (count desc, n_docs
+    desc, gram asc) tie-break; oracle recomputes relationally."""
+    from log_parser_mind_spark.operators.curate import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=50)
+
+
+_ORACLE_TOP_NGRAMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, g
+  FROM toks, LATERAL unnest(list_transform(generate_series(1, greatest(len(t)-1,0)),
+                                           i -> t[i] || ' ' || t[i+1])) AS u(g)
+)
+SELECT g AS gram, count(*) AS count, count(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY g
+ORDER BY count DESC, n_docs DESC, gram
+LIMIT 50
+"""
+
+
 def q_near_dup_components(spark, sf_dir):
     """Transitive near-dup clustering (dedup.connected_components): verified
     minhash pairs (same provably-exhaustive config as minhash_verified_dups)
@@ -2039,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "length_profile": q_length_profile,
         "near_dup_components": q_near_dup_components,
+        "top_ngrams": q_top_ngrams,
         "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
@@ -2142,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle": _ORACLE_GLOBAL_SHUFFLE,
         "length_profile": _ORACLE_LENGTH_PROFILE,
         "near_dup_components": _oracle_near_dup_components(),
+        "top_ngrams": _ORACLE_TOP_NGRAMS,
         "training_mixture": _ORACLE_TRAINING_MIXTURE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,

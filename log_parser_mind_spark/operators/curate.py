@@ -519,3 +519,46 @@ def length_profile(
         F.round(pct(F.col("_nc"), F.lit(0.9)), 6).alias("p90_chars"),
         F.round(pct(F.col("_nc"), F.lit(0.99)), 6).alias("p99_chars"),
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent word n-grams with
+    total and document frequencies — the inspection query behind boilerplate
+    thresholds, contamination probes, and tokenizer-vocab sanity checks.
+    Deterministic tie-break: (count desc, n_docs desc, gram asc).
+
+    Scale shape: tokens from the shared tokenizer, grams exploded once,
+    ONE groupBy(gram) with map-side combine (count + approx-free distinct
+    docs via a two-level agg: (gram, doc) partial first, so the hot gram's
+    doc set never concentrates in one reducer), then a global
+    TakeOrdered(k) — no full sort of the gram table."""
+    from ..functions.text import ws_tokens_expr
+
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        docs.withColumn("_toks", ws_tokens_expr(F.col(text_col)))
+        .select(F.col(id_col).alias("_rid"), F.explode(grams).alias("gram"))
+    )
+    # Two-level agg: collapse (gram, doc) first so a gram appearing in every
+    # doc combines map-side before the per-gram reduce.
+    doc_level = per_doc.groupBy("gram", "_rid").agg(F.count(F.lit(1)).alias("c"))
+    agg = doc_level.groupBy("gram").agg(
+        F.sum("c").alias("count"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        agg.orderBy(F.col("count").desc(), F.col("n_docs").desc(), F.col("gram"))
+        .limit(int(k))
+    )

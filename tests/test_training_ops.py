@@ -997,3 +997,18 @@ def test_connected_components_chains_and_cliques(spark):
             [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
         )
         dedup.connected_components(long_chain, max_iter=1)
+
+
+def test_top_ngrams_heavy_hitters(spark):
+    """Corpus heavy hitters: totals count every occurrence, n_docs counts
+    documents, the tie-break is total, k truncates deterministically."""
+    from log_parser_mind_spark.operators.curate import top_ngrams
+
+    rows = [
+        (0, "a b a b"),        # "a b" x2, "b a" x1
+        (1, "a b c"),          # "a b", "b c"
+        (2, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.gram, r["count"], r.n_docs) for r in top_ngrams(docs, n=2, k=2).collect()]
+    assert got == [("a b", 3, 2), ("b a", 1, 1)]  # "b a" < "b c" on the tie
