@@ -541,6 +541,16 @@ LIMIT 50
 """
 
 
+def _exhaustive_verified_pairs(docs):
+    """The PROVABLE LSH config (k=bands=32, rows_per_band=1, unigrams,
+    t=0.7) shared by q_minhash_verified_dups and q_near_dup_components —
+    ONE definition, because _ORACLE_MINHASH_VERIFIED encodes exactly these
+    parameters and the components oracle wraps that SQL: tuning one query's
+    literals without the other would silently break the shared oracle."""
+    cand = dedup.minhash_lsh_candidates(docs, k=32, bands=32, shingle_n=1)
+    return dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.7, candidates=cand)
+
+
 def q_minhash_verified_dups(spark, sf_dir):
     """LSH→exact-verify composition over the FULL documents table (the scale
     path: candidates from minhash bands prune the shingle self-join, then
@@ -548,8 +558,7 @@ def q_minhash_verified_dups(spark, sf_dir):
     miss probability at s=0.7 is 0.3^32 ≈ 2e-17, and the result is verified
     EQUAL to the exhaustive all-pairs oracle on this corpus."""
     docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs, k=32, bands=32, shingle_n=1)
-    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.7, candidates=cand)
+    pairs = _exhaustive_verified_pairs(docs)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1317,9 +1326,7 @@ def q_near_dup_components(spark, sf_dir):
     id; singleton docs are their own component. The oracle wraps the SAME
     exhaustive pair SQL in a recursive-CTE transitive closure."""
     docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs, k=32, bands=32, shingle_n=1)
-    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.7, candidates=cand)
-    comps = dedup.connected_components(pairs)
+    comps = dedup.connected_components(_exhaustive_verified_pairs(docs))
     return docs.select("doc_id").join(comps, "doc_id", "left").select(
         "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("component_id")
     )

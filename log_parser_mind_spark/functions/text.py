@@ -54,6 +54,21 @@ def with_tokens(df, text_col: str = "text", out_col: str = "tokens"):
     return df.withColumn(out_col, lower_tokens(F.col(text_col)))
 
 
+def word_ngrams_expr(tokens: Column, n: int) -> Column:
+    """Word n-grams (space-joined) over a MATERIALIZED tokens column; a
+    <n-token doc yields the EMPTY array (the ``sequence(1, 0)`` guard —
+    Spark auto-steps -1 and produces a descending range otherwise). One
+    definition shared by the per-doc repetition metrics and the corpus-wide
+    heavy hitters so gram semantics can never drift between them."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def stopword_hits_from(tokens: Column, lang: str) -> Column:
     words = LANG_STOPWORDS[lang]
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))

@@ -337,15 +337,6 @@ def repetition_scores(
 
         return F.aggregate(arr, init, step, lambda acc: acc["bcnt"] * acc["blen"])
 
-    def _grams(toks: Column, n: int) -> Column:
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     with_arrays = (
         docs.withColumn(
             "_ls",
@@ -354,8 +345,8 @@ def repetition_scores(
             ),
         )
         .withColumn("_toks", tx.ws_tokens_expr(F.col(text_col)))
-        .withColumn("_g2", F.array_sort(_grams(F.col("_toks"), 2)))
-        .withColumn("_g3", F.array_sort(_grams(F.col("_toks"), 3)))
+        .withColumn("_g2", F.array_sort(tx.word_ngrams_expr(F.col("_toks"), 2)))
+        .withColumn("_g3", F.array_sort(tx.word_ngrams_expr(F.col("_toks"), 3)))
     )
 
     ls = F.col("_ls")
@@ -538,19 +529,12 @@ def top_ngrams(
     docs via a two-level agg: (gram, doc) partial first, so the hot gram's
     doc set never concentrates in one reducer), then a global
     TakeOrdered(k) — no full sort of the gram table."""
-    from ..functions.text import ws_tokens_expr
-
-    toks = F.col("_toks")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     per_doc = (
-        docs.withColumn("_toks", ws_tokens_expr(F.col(text_col)))
-        .select(F.col(id_col).alias("_rid"), F.explode(grams).alias("gram"))
+        docs.withColumn("_toks", tx.ws_tokens_expr(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("_rid"),
+            F.explode(tx.word_ngrams_expr(F.col("_toks"), n)).alias("gram"),
+        )
     )
     # Two-level agg: collapse (gram, doc) first so a gram appearing in every
     # doc combines map-side before the per-gram reduce.

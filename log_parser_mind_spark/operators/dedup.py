@@ -515,6 +515,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    converged = False
     try:
         for _ in range(max_iter):
             msgs = sym.join(labels, sym["src"] == labels["node"]).select(
@@ -536,6 +537,12 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
+                # The returned frame stays persisted DELIBERATELY: its
+                # lineage is the whole iteration chain, and every
+                # intermediate cache is gone — unpersisting here would make
+                # the caller's first action replay all rounds. Callers that
+                # batch many jobs in one session unpersist after consuming.
                 return labels.select(
                     F.col("node").alias("doc_id"), F.col("label").alias("component_id")
                 )
@@ -546,3 +553,7 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+        # Error paths (non-convergence, or a mid-loop failure) must not leave
+        # the last label table cached in a long-lived session.
+        if not converged:
+            labels.unpersist()
