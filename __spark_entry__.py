@@ -1324,7 +1324,13 @@ def q_near_dup_components(spark, sf_dir):
     minhash pairs (same provably-exhaustive config as minhash_verified_dups)
     grouped into components by min-label propagation, component_id = min doc
     id; singleton docs are their own component. The oracle wraps the SAME
-    exhaustive pair SQL in a recursive-CTE transitive closure."""
+    exhaustive pair SQL in a recursive-CTE transitive closure — a SMALL-SF
+    verification device only: on the sf0.1 corpus the provable pair config
+    yields 5.1M edges over 5k docs and the closure's reach⋈edges step
+    generates billions of pre-dedup intermediates (measured >25 min,
+    killed), while the Spark operator itself (label propagation, never
+    closure enumeration) handles that graph in seconds. Attested at the
+    driver's sf0.01 gate."""
     docs = _t(spark, sf_dir, "documents")
     comps = dedup.connected_components(_exhaustive_verified_pairs(docs))
     return docs.select("doc_id").join(comps, "doc_id", "left").select(
