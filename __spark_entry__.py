@@ -213,6 +213,44 @@ def q_stateful_templates(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Dedup-at-ingestion (streaming.streaming_exact_dedup): the documents
+    corpus split into 2 micro-batches, state-store dropDuplicates on the
+    normalized text. The deterministic surface is the kept KEY SET (which
+    physical row survives a within-batch tie is partition-dependent), so
+    the query emits the distinct normalized texts; the oracle is the batch
+    distinct over the same normalization — streaming state across batches
+    == batch distinct, hash-verified."""
+    import tempfile
+
+    from log_parser_mind_spark.streaming.stream import (
+        stream_transcripts,
+        streaming_exact_dedup,
+    )
+
+    root = tempfile.mkdtemp(prefix="logmind_sdedup_contract_")
+    t = documents_as_transcripts(spark, sf_dir)
+    t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
+    q = (
+        streaming_exact_dedup(stream_transcripts(spark, f"{root}/input", max_files=1))
+        .select(F.col("_norm").alias("norm_text"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out").select("norm_text")
+
+
+_ORACLE_STREAMING_DEDUP = r"""
+SELECT DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     assets = multimodal.synth_assets(spark, n=64)
     feats = multimodal.decode_and_featurize(assets, fake=True)
@@ -2031,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_dups": q_simhash_hamming_dups,
         "streaming_templates": q_streaming_templates,
         "stateful_templates": q_stateful_templates,
+        "streaming_dedup": q_streaming_dedup,
         "multimodal_features": q_multimodal_features,
         # grok/parse layer (oracle-checked)
         "mask_documents": q_mask_documents,
@@ -2137,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         "stateful_templates": _golden_sql(
             "drain_templates", "template_id, pattern, log_count"
         ),
+        "streaming_dedup": _ORACLE_STREAMING_DEDUP,
         "drain_parsed_turns": _golden_sql(
             "drain_parsed_turns",
             "conv_id, turn_idx, template_id, is_new, original_size, compressed_size",

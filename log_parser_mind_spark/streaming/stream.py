@@ -154,3 +154,38 @@ def incremental_pipeline(
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
     )
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Dedup-at-ingestion (U1's streaming analog): drop every document whose
+    whitespace/case-normalized text was already seen, keeping the first
+    arrival. State = one normalized-text key per distinct document in the
+    state store, recovered across restarts — a duplicate arriving in a later
+    micro-batch (or after a restart) is still dropped.
+
+    With ``ts_col`` set, ``dropDuplicatesWithinWatermark`` bounds the state:
+    a key unseen for longer than the watermark is evicted, so state size
+    tracks the dedup WINDOW, not corpus history — the knob that makes this
+    runnable forever on an unbounded crawl (re-crawls beyond the window are
+    then admitted; that is the documented trade, and exact global dedup over
+    history is the batch operator's job). Without ``ts_col`` the state is
+    unbounded, exact, and right for bounded replays.
+
+    Which physical row survives a within-batch tie is partition-order
+    dependent (Spark's dropDuplicates keeps an arbitrary first); the
+    DETERMINISTIC surface is the kept key set — project the normalized key
+    (or re-derive per-key aggregates downstream) when exact row identity
+    matters."""
+    from ..operators.dedup import normalized_text
+
+    keyed = docs_stream.withColumn("_norm", normalized_text(F.col(text_col)))
+    if ts_col is not None:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_norm"]
+        )
+    return keyed.dropDuplicates(["_norm"])

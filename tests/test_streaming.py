@@ -208,3 +208,56 @@ def test_lineage_lives_in_overridden_checkpoint(spark, staged_input, tmp_path):
         store.read_all("stream_parsed").select("conv_id", "turn_idx").distinct().count()
     )
     assert replayed == batch_df.count()
+
+
+def test_streaming_exact_dedup_across_batches_and_restart(spark, tmp_path):
+    """Dedup-at-ingestion: a duplicate arriving in a LATER micro-batch is
+    dropped by the state store, ws/case variants dedup under the shared
+    normalization, and the state survives a query restart (second
+    availableNow run still drops a re-arrival of a first-run doc)."""
+    import datetime as dt
+
+    from log_parser_mind_spark.schemas import TRANSCRIPTS
+    from log_parser_mind_spark.streaming.stream import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def tr(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    in_path = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema(TRANSCRIPTS).parquet(in_path)
+        q = (
+            streaming_exact_dedup(stream)
+            .select("conv_id", "_norm")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).collect()
+
+    tr([("c1", 0, "u", "hello world", "none", t0),
+        ("c2", 0, "u", "HELLO   world", "none", t0),      # normalized dup of c1
+        ("c3", 0, "u", "something else", "none", t0)]
+       ).repartition(1).write.mode("append").parquet(in_path)
+    first = run()
+    assert sorted(r._norm for r in first) == ["hello world", "something else"]
+
+    # Later batch: one cross-batch dup (dropped by state), one new doc.
+    tr([("c4", 0, "u", "hello world", "none", t0 + dt.timedelta(minutes=1)),
+        ("c5", 0, "u", "fresh content", "none", t0 + dt.timedelta(minutes=1))]
+       ).repartition(1).write.mode("append").parquet(in_path)
+    both = run()
+    norms = sorted(r._norm for r in both)
+    assert norms == ["fresh content", "hello world", "something else"]
+    assert not any(r.conv_id == "c4" for r in both)  # restart-recovered state dropped it
