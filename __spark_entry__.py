@@ -1483,6 +1483,31 @@ FROM base GROUP BY source
 """
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic disjoint train/val/test split (sample.split_corpus):
+    one MINSTD draw per row, consecutive bands 0.8/0.1/0.1 in declaration
+    order — disjoint + exhaustive by construction. Oracle recomputes the
+    identical integer arithmetic and band bounds."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_ops.split_corpus(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt=13
+    )
+    return out.select("doc_id", "split")
+
+
+_ORACLE_CORPUS_SPLIT = """
+SELECT doc_id,
+  CASE WHEN h < 1717986917 THEN 'train'
+       WHEN h < 1932735282 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         (((((doc_id % 2147483647) * 48271 + 13) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS h
+  FROM documents
+)
+"""
+
+
 def q_global_shuffle(spark, sf_dir):
     """Deterministic global shuffle for training export
     (sample.global_shuffle): shard + position from two independent MINSTD
@@ -2115,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "paragraph_dedup": q_paragraph_dedup,
         "global_shuffle": q_global_shuffle,
+        "corpus_split": q_corpus_split,
         "length_profile": q_length_profile,
         "near_dup_components": q_near_dup_components,
         "top_ngrams": q_top_ngrams,
@@ -2220,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": _ORACLE_REPETITION,
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
         "global_shuffle": _ORACLE_GLOBAL_SHUFFLE,
+        "corpus_split": _ORACLE_CORPUS_SPLIT,
         "length_profile": _ORACLE_LENGTH_PROFILE,
         "near_dup_components": _oracle_near_dup_components(),
         "top_ngrams": _ORACLE_TOP_NGRAMS,

@@ -210,3 +210,41 @@ def global_shuffle(
         .withColumn("pos_in_shard", F.row_number().over(w) - 1)
         .drop("_oh")
     )
+
+
+def split_corpus(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic, disjoint, exhaustive train/val/test split: one MINSTD
+    draw per row partitions [0, M) into consecutive bands, one per label in
+    ``fractions`` insertion order (must sum to 1). Every row gets exactly
+    one ``split`` label, identical at any parallelism or engine — and
+    because all labels share ONE draw, the splits are disjoint by
+    construction (per-label deterministic_sample calls would overlap).
+
+    Note the boundary semantics: growing one split's fraction shifts every
+    LATER band, so rows can migrate between adjacent splits on a
+    re-configure — unlike deterministic_sample's subset monotonicity.
+    Pin fractions before any derived artifact is built (the reason this
+    returns the label instead of filtered frames: the assignment is the
+    auditable artifact)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = _minstd(key_col, salt)
+    expr = None
+    cum = 0.0
+    labels = list(fractions.items())
+    for i, (label, frac) in enumerate(labels):
+        cum += frac
+        # Last band catches everything below M exactly — no float-rounding
+        # sliver can fall through.
+        bound = MINSTD_M if i == len(labels) - 1 else int(cum * MINSTD_M)
+        cond = h < F.lit(bound).cast("long")
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return docs.withColumn("split", expr)

@@ -138,3 +138,30 @@ def test_global_shuffle_is_deterministic_permutation(spark):
 
     with pytest.raises(ValueError):
         global_shuffle(docs, n_shards=0)
+
+
+def test_split_corpus_disjoint_exhaustive(spark):
+    """One label per row (disjoint + exhaustive by construction), realized
+    proportions near the configured ones, repartition-invariant, and loud
+    errors on bad fraction sums."""
+    from log_parser_mind_spark.operators.sample import split_corpus
+
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt=3)
+    rows = out.collect()
+    assert len(rows) == 4000
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+
+    again = {(r.doc_id, r.split) for r in
+             split_corpus(docs.repartition(9), {"train": 0.8, "val": 0.1, "test": 0.1}, salt=3).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+
+    with pytest.raises(ValueError):
+        split_corpus(docs, {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_corpus(docs, {})
