@@ -144,6 +144,22 @@ def q_simhash_hamming_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _staged_transcript_stream(spark, sf_dir, prefix):
+    """Shared staging for the streaming contract queries: the documents
+    corpus as transcripts, range-split into 2 files (→ 2 micro-batches with
+    maxFilesPerTrigger=1, so batch 2 genuinely exercises the cross-batch
+    state/seeding path). ONE definition — the three streaming queries'
+    convergence claims all assume this exact split."""
+    import tempfile
+
+    from log_parser_mind_spark.streaming.stream import stream_transcripts
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    t = documents_as_transcripts(spark, sf_dir)
+    t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
+    return root, stream_transcripts(spark, f"{root}/input", max_files=1)
+
+
 def q_streaming_templates(spark, sf_dir):
     """T1-T8 — foreachBatch incremental mining (availableNow trigger) over the
     SAME corpus as q_drain_templates, oracled against the SAME golden: the
@@ -152,21 +168,14 @@ def q_streaming_templates(spark, sf_dir):
     templates pre-populate each batch's clusterers) plus content-hash template
     ids make the merge exact, not approximate. Two range-split input files →
     two micro-batches, so batch 2 genuinely exercises the seeding path."""
-    import tempfile
-
     from log_parser_mind_spark.sources.manifest import SnapshotStore
-    from log_parser_mind_spark.streaming.stream import (
-        incremental_pipeline,
-        stream_transcripts,
-    )
+    from log_parser_mind_spark.streaming.stream import incremental_pipeline
 
-    root = tempfile.mkdtemp(prefix="logmind_stream_contract_")
-    t = documents_as_transcripts(spark, sf_dir)
-    t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
+    root, stream = _staged_transcript_stream(spark, sf_dir, "logmind_stream_contract_")
     q = (
         incremental_pipeline(
             spark,
-            stream_transcripts(spark, f"{root}/input", max_files=1),
+            stream,
             f"{root}/snap",
             checkpoint_location=f"{root}/ckpt",
         )
@@ -188,16 +197,11 @@ def q_stateful_templates(spark, sf_dir):
     committed templates. Like streaming_templates, exactness holds because
     no batch-2 signature generalizes a batch-1 template on this corpus/split
     (append output cannot retro-update earlier epochs' emitted patterns)."""
-    import tempfile
-
     from log_parser_mind_spark.streaming.stateful_miner import mine_templates_stateful
-    from log_parser_mind_spark.streaming.stream import stream_transcripts
 
-    root = tempfile.mkdtemp(prefix="logmind_stateful_contract_")
-    t = documents_as_transcripts(spark, sf_dir)
-    t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
+    root, stream = _staged_transcript_stream(spark, sf_dir, "logmind_stateful_contract_")
     q = (
-        mine_templates_stateful(stream_transcripts(spark, f"{root}/input", max_files=1))
+        mine_templates_stateful(stream)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", f"{root}/out")
@@ -221,18 +225,11 @@ def q_streaming_dedup(spark, sf_dir):
     the query emits the distinct normalized texts; the oracle is the batch
     distinct over the same normalization — streaming state across batches
     == batch distinct, hash-verified."""
-    import tempfile
+    from log_parser_mind_spark.streaming.stream import streaming_exact_dedup
 
-    from log_parser_mind_spark.streaming.stream import (
-        stream_transcripts,
-        streaming_exact_dedup,
-    )
-
-    root = tempfile.mkdtemp(prefix="logmind_sdedup_contract_")
-    t = documents_as_transcripts(spark, sf_dir)
-    t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
+    root, stream = _staged_transcript_stream(spark, sf_dir, "logmind_sdedup_contract_")
     q = (
-        streaming_exact_dedup(stream_transcripts(spark, f"{root}/input", max_files=1))
+        streaming_exact_dedup(stream)
         .select(F.col("_norm").alias("norm_text"))
         .writeStream.outputMode("append")
         .format("parquet")

@@ -230,9 +230,17 @@ def split_corpus(
     re-configure — unlike deterministic_sample's subset monotonicity.
     Pin fractions before any derived artifact is built (the reason this
     returns the label instead of filtered frames: the assignment is the
-    auditable artifact)."""
+    auditable artifact).
+
+    Keys must be non-null and castable to long — the shared MINSTD-family
+    contract: a NULL/uncastable key hashes to NULL, which
+    deterministic_sample silently DROPS and this operator labels
+    ``split = NULL`` (exhaustiveness holds over keyable rows only)."""
     if not fractions:
         raise ValueError("fractions must be non-empty")
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for split {k!r} must be in [0, 1], got {v}")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")

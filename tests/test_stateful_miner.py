@@ -36,7 +36,7 @@ def _run(spark, in_path, tmp_path, name="smq"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query did not finish in time"
     return spark.read.parquet(out_dir)
 
 

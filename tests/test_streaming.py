@@ -243,7 +243,7 @@ def test_streaming_exact_dedup_across_batches_and_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "streaming query did not finish in time"
         return spark.read.parquet(out_dir).collect()
 
     tr([("c1", 0, "u", "hello world", "none", t0),
@@ -261,3 +261,42 @@ def test_streaming_exact_dedup_across_batches_and_restart(spark, tmp_path):
     norms = sorted(r._norm for r in both)
     assert norms == ["fresh content", "hello world", "something else"]
     assert not any(r.conv_id == "c4" for r in both)  # restart-recovered state dropped it
+
+
+def test_streaming_dedup_watermark_branch(spark, tmp_path):
+    """The dropDuplicatesWithinWatermark path (state bounded to the dedup
+    window): a duplicate arriving within the watermark window — including in
+    a LATER micro-batch — is dropped; the unique doc passes."""
+    import datetime as dt
+
+    from log_parser_mind_spark.schemas import TRANSCRIPTS
+    from log_parser_mind_spark.streaming.stream import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    in_path = str(tmp_path / "in")
+    rows1 = [("c1", 0, "u", "alpha beta", "none", t0),
+             ("c2", 0, "u", "ALPHA  beta", "none", t0 + dt.timedelta(seconds=5))]
+    rows2 = [("c3", 0, "u", "alpha beta", "none", t0 + dt.timedelta(minutes=2)),
+             ("c4", 0, "u", "gamma delta", "none", t0 + dt.timedelta(minutes=2))]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode("append").parquet(in_path)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode("append").parquet(in_path)
+
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(in_path)
+    q = (
+        streaming_exact_dedup(stream, ts_col="ts", watermark="1 hour")
+        .select("conv_id", "_norm")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish in time"
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    # The deterministic surface is the kept KEY set (which physical row
+    # survives a tie is partition/batch-order dependent — the operator's
+    # documented contract): exactly one row per normalized text.
+    norms = sorted(r._norm for r in got)
+    assert norms == ["alpha beta", "gamma delta"]
