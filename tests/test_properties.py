@@ -235,3 +235,43 @@ def test_dedup_paragraphs_matches_python_reference(spark, texts):
     docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     got = {r.doc_id: r.text for r in dedup_paragraphs(docs).collect()}
     assert got == _paragraph_dedup_py(texts)
+
+
+def _cc_py(pairs):
+    """Union-find reference for dedup.connected_components."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_pairs):
+    """Min-label propagation == union-find min-root on arbitrary random
+    graphs (chains, cliques, cycles, self-symmetric duplicates)."""
+    from log_parser_mind_spark.operators import dedup
+
+    pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(df, max_iter=50).collect()
+    }
+    assert got == _cc_py(pairs)
