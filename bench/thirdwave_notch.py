@@ -1,6 +1,6 @@
 """Scale-notch evidence for the round-4 third-wave operators.
 
-documents ×R (default 16 → 80k docs, sf0.01 base): per-doc repetition
+documents ×R (default 16 → 80k docs, sf0.1 base): per-doc repetition
 metrics, global paragraph dedup, corpus heavy hitters, deterministic
 global shuffle. Replication is the adversarial direction for SPAN dedup
 (every paragraph becomes a 16-way corpus-wide duplicate — the hot-key case
@@ -16,7 +16,9 @@ Invariants asserted before anything is recorded:
     invariant; replicas keep only blank structure).
   - top_ngrams: the top-k gram set is identical to ×1 with every count
     exactly ×R and n_docs exactly ×R.
-  - global_shuffle: (shard, pos) is a bijection — count distinct == count.
+  - global_shuffle: replica-0's shard assignment equals the ×1 run's
+    (shard is a pure function of the key), and the ×R ordering restricted
+    to replica-0 docs preserves the ×1 within-shard order exactly.
 
 Single runs on a noisy VM — the INVARIANTS and the absence of quadratic
 blowups are the evidence, not the exact seconds.
@@ -37,6 +39,7 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     r_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    assert r_docs >= 2, "the replica-1 invariants need r_docs >= 2"
 
     from pyspark.sql import functions as F
 
@@ -56,6 +59,12 @@ def main() -> None:
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n_base = base.count()
     offset = 1_000_000
+    id_stats = base.agg(
+        F.max("doc_id").alias("mx"), F.countDistinct("doc_id").alias("nd")
+    ).collect()[0]
+    assert id_stats.mx < offset and id_stats.nd == n_base, (
+        "replica-id scheme needs unique base doc_ids < 1,000,000"
+    )
     big = base.crossJoin(
         spark.range(r_docs).withColumnRenamed("id", "_rep")
     ).select(
@@ -82,17 +91,17 @@ def main() -> None:
     assert rep1 == base_rep, "replication perturbed per-doc metrics"
     rep.unpersist()
 
-    t0 = time.time()
-    mass_big = (
-        dedup_paragraphs(big).agg(F.sum(F.length("text"))).collect()[0][0]
-    )
-    out["paragraph_dedup_sec"] = round(time.time() - t0, 3)
-    mass_base = dedup_paragraphs(base).agg(F.sum(F.length("text"))).collect()[0][0]
     # Replicas contribute only blank structure; separator chars around
-    # dropped paragraphs differ, so compare non-whitespace mass.
+    # dropped paragraphs differ, so the strict invariant is non-whitespace
+    # mass. One agg pass per corpus computes both masses.
     nws = lambda c: F.sum(F.length(F.regexp_replace(c, r"\s", "")))  # noqa: E731
-    nws_big = dedup_paragraphs(big).agg(nws(F.col("text"))).collect()[0][0]
-    nws_base = dedup_paragraphs(base).agg(nws(F.col("text"))).collect()[0][0]
+    both = lambda df: df.agg(  # noqa: E731
+        F.sum(F.length("text")), nws(F.col("text"))
+    ).collect()[0]
+    t0 = time.time()
+    mass_big, nws_big = both(dedup_paragraphs(big))
+    out["paragraph_dedup_sec"] = round(time.time() - t0, 3)
+    mass_base, nws_base = both(dedup_paragraphs(base))
     assert nws_big == nws_base, (nws_big, nws_base)
     out["survivor_mass_x1"] = int(mass_base)
     out["survivor_mass_xR"] = int(mass_big)
@@ -105,9 +114,20 @@ def main() -> None:
 
     t0 = time.time()
     sh = global_shuffle(big, n_shards=64)
-    n_pairs = sh.select("shard", "pos_in_shard").distinct().count()
+    rep0 = sh.filter(F.col("doc_id") < offset).select(
+        "shard", "pos_in_shard", "doc_id"
+    ).collect()
     out["global_shuffle_sec"] = round(time.time() - t0, 3)
-    assert n_pairs == n_big  # bijection
+    # shard is a pure function of the key, and the within-shard order of
+    # the shared keys must survive the interleaved replicas.
+    base_order: dict = {}
+    for r in sorted(global_shuffle(base, n_shards=64).collect(),
+                    key=lambda r: (r.shard, r.pos_in_shard)):
+        base_order.setdefault(r.shard, []).append(r.doc_id)
+    big_order: dict = {}
+    for r in sorted(rep0, key=lambda r: (r.shard, r.pos_in_shard)):
+        big_order.setdefault(r.shard, []).append(r.doc_id)
+    assert big_order == base_order, "replication perturbed the shuffle order"
 
     big.unpersist()
     print(json.dumps(out))

@@ -270,8 +270,9 @@ def test_connected_components_matches_union_find(spark, raw_pairs):
 
     pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {
-        r.doc_id: r.component_id
-        for r in dedup.connected_components(df, max_iter=50).collect()
-    }
+    comps = dedup.connected_components(df, max_iter=50)
+    got = {r.doc_id: r.component_id for r in comps.collect()}
+    # the returned frame is deliberately persisted (see its docstring) —
+    # batching many examples in the shared session must release each one
+    comps.unpersist()
     assert got == _cc_py(pairs)
