@@ -45,6 +45,15 @@ def asof_join(
     unique on the right."""
     if right_cols is None:  # explicit [] means "existence probe, no payload"
         right_cols = [c for c in right.columns if c not in (key, ts_col)]
+    # Same clash guard as interval_join: a suffixed right column that equals
+    # a left column would silently duplicate an output name (ambiguous
+    # reference only far downstream, or silent pass-through via toPandas).
+    clash = set(left.columns) & {f"{c}{suffix}" for c in right_cols}
+    if clash:
+        raise ValueError(
+            f"suffixed right columns {sorted(clash)} collide with left "
+            "columns — pass a different suffix= to disambiguate"
+        )
     ts = F.col(ts_col).cast("timestamp")
     # Tiebreak keeps its OWN type: casting a string id to long would NULL it
     # (non-ANSI) or throw (ANSI), silently degrading tie resolution to

@@ -121,6 +121,9 @@ def pack_corpus(
     order stays deterministic; ``key_col`` remains the final tie-break)."""
     from ..functions.text import ws_tokens_expr
 
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+
     if "n_tokens" in docs.columns:
         with_tok = docs
     else:

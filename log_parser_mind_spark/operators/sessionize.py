@@ -58,9 +58,14 @@ def conversation_sessions(
         ).otherwise(F.lit(0)),
     )
     # Running sum of boundaries = session ordinal; reuses the SAME window
-    # partitioning, so Catalyst plans one exchange for both functions.
+    # partitioning, so Catalyst plans one exchange for both functions. The
+    # frame is pinned to ROWS (Spark's default is RANGE-to-current-row): the
+    # DuckDB oracle uses ROWS UNBOUNDED PRECEDING, and under a RANGE frame
+    # rows tied on (ts, tiebreak) would share the summed value, diverging
+    # from the oracle whenever the tiebreak is not unique.
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_sid = with_break.withColumn(
-        "session_idx", F.sum("_new_session").over(w) - F.lit(1)
+        "session_idx", F.sum("_new_session").over(w_rows) - F.lit(1)
     )
     return (
         with_sid.groupBy(conv_col, "session_idx")

@@ -99,3 +99,19 @@ def test_interval_join_refuses_silent_column_collision(spark):
         asof.interval_join(events, iv, key="user_id")
     ok = asof.interval_join(events, iv, key="user_id", suffix="_iv")
     assert "note_iv" in ok.columns and ok.count() == 1
+
+
+def test_asof_join_refuses_silent_column_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("u", _ts(5), "x")], "user_id string, ts timestamp, v_asof string"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(0), "y")], "user_id string, ts timestamp, v string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof.asof_join(left, right, key="user_id", right_cols=["v"])
+    ok = asof.asof_join(left, right, key="user_id", right_cols=["v"], suffix="_prev")
+    assert ok.columns == ["user_id", "ts", "v_asof", "v_prev"]
+    assert ok.collect()[0].v_prev == "y"

@@ -165,3 +165,11 @@ def test_split_corpus_disjoint_exhaustive(spark):
         split_corpus(docs, {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         split_corpus(docs, {})
+
+
+def test_pack_corpus_rejects_nonpositive_budget(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="budget_tokens"):
+        sm.pack_corpus(docs, budget_tokens=0)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        sm.pack_corpus(docs, budget_tokens=-7)

@@ -155,3 +155,27 @@ def test_timeout_tombstone_preserves_session_numbering(spark, tmp_path):
     got = run()
     assert got.get(("c", 1)) == 1
     assert ("c", 0) in got and len([k for k in got if k[0] == "c"]) == 2
+
+
+def test_running_sum_uses_rows_frame(spark, gapped):
+    """The session ordinal must run under a ROWS frame (the DuckDB oracle
+    pins ROWS UNBOUNDED PRECEDING); Spark's default RANGE-to-current-row
+    frame makes tied (ts, tiebreak) rows share the summed value."""
+    df = sessionize.conversation_sessions(gapped)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # every sum-over-window in the plan carries an explicit RowFrame
+    sum_specs = re.findall(r"sum\(_new_session[^\]]*specifiedwindowframe\((\w+)", plan)
+    assert sum_specs and all(f == "RowFrame" for f in sum_specs), plan
+
+    # duplicated (ts, turn_idx) rows must still count once each per session
+    dup = gapped.unionByName(gapped.filter(F.col("conv_id") == "c2"))
+    got = {
+        (r.conv_id, r.session_idx): r.n_turns
+        for r in sessionize.conversation_sessions(dup, gap_minutes=30).collect()
+        if r.conv_id == "c2"
+    }
+    assert got == {("c2", 0): 2}
