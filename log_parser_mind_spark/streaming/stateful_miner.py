@@ -156,6 +156,135 @@ def mine_templates_stateful(
     )
 
 
+PARSE_STREAM_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, template_id string, template string, is_new boolean"
+)
+_PARSE_OUT_COLS = [
+    "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    "template_id", "template", "is_new",
+]
+
+
+def parse_stream_stateful(
+    stream: DataFrame,
+    config: PipelineConfig | None = None,
+) -> DataFrame:
+    """Pure-streaming END-TO-END parse: per-TURN template assignment in the
+    same stateful operator that mines (no foreachBatch, no join back onto
+    the stream) — the full `processLog` path (cmd/ingestion/main.go:64-99)
+    as one streaming query.
+
+    mine_templates_stateful emits one row per distinct signature and leaves
+    per-turn assignment to the foreachBatch pipeline; joining its output
+    back onto the turn stream would be a stream-stream self-join behind an
+    arbitrary stateful operator, which Structured Streaming does not
+    support. Here the assignment happens WHERE the state already is: the
+    handler buffers the trigger's rows for its leaf, mines the distinct
+    signatures against the recovered state (the shared cluster_leaf core,
+    identical semantics), and emits every row with its (template_id,
+    template, is_new). is_new marks exactly the founding first-occurrence
+    row of a creating signature — the same rule as miner.assign_templates —
+    so across triggers each template anchors once, in the trigger that
+    founded it.
+
+    Memory bound — the honest trade vs mine_templates_stateful: this
+    handler holds O(rows of the leaf in the trigger) in Python (row width ×
+    trigger size), not O(distinct sigs): per-turn output needs the rows.
+    The trigger size (maxFilesPerTrigger / maxBytesPerTrigger) is the
+    control; for unbounded-trigger batch-like use, the foreachBatch
+    pipeline's broadcast join remains the right shape. Rows whose signature
+    is empty/NULL (empty or NULL text) pass through with NULL template,
+    never touching state — the same left-join row preservation as batch.
+
+    Convergence to the one-shot batch parse holds under the same contract
+    as mine_templates_stateful (no later trigger generalizes an earlier
+    trigger's emitted template) plus trigger order aligned with canonical
+    (conv_id, turn_idx) order — e.g. a conv_id-range file split — so each
+    cluster's global founding row lands in the trigger that founds it.
+    Downstream stateless finalization (variables, sizes, ids) is
+    ``parsed_stream``."""
+    import pandas as pd
+
+    config = config or PipelineConfig()
+    sim = config.drain.sim_threshold
+    max_depth = config.drain.max_depth
+
+    masked = masked_transcripts(stream, max_depth)
+    keyed = masked.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "masked_sig",
+        *leaf_keys_from_sig(max_depth, with_sig_id=False),
+    )
+
+    def fn(key, pdfs, state):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=_PARSE_OUT_COLS)
+            return
+        allp = pd.concat(chunks, ignore_index=True)
+        mined = allp[allp["masked_sig"].notna() & (allp["masked_sig"] != "")]
+        amap: dict = {}
+        first_key: dict = {}
+        if len(mined):
+            firsts = mined.sort_values(
+                ["conv_id", "turn_idx"], kind="mergesort"
+            ).drop_duplicates("masked_sig", keep="first")
+            sigs = firsts["masked_sig"].tolist()
+            convs = firsts["conv_id"].tolist()
+            turns = firsts["turn_idx"].tolist()
+            seeds = list(state.get[0]) if state.exists else []
+            assigned, final_patterns = cluster_leaf(sigs, convs, turns, seeds, sim)
+            state.update((final_patterns,))
+            amap = dict(zip(sigs, assigned))
+            first_key = {s: (c, t) for s, c, t in zip(sigs, convs, turns)}
+        tids, tpls, news = [], [], []
+        for sig, conv, turn in zip(
+            allp["masked_sig"], allp["conv_id"], allp["turn_idx"]
+        ):
+            a = amap.get(sig)
+            if a is None:
+                tids.append(None); tpls.append(None); news.append(None)
+            else:
+                tids.append(a[0])
+                tpls.append(a[1])
+                news.append(bool(a[2]) and first_key[sig] == (conv, turn))
+        out = allp[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
+        out["template_id"] = tids
+        out["template"] = tpls
+        out["is_new"] = pd.array(news, dtype="boolean")
+        yield out
+
+    return keyed.groupBy("n_tokens", "k0", "k1").applyInPandasWithState(
+        fn,
+        outputStructType=PARSE_STREAM_OUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def parsed_stream(
+    stream: DataFrame,
+    config: PipelineConfig | None = None,
+    include_text: bool = True,
+) -> DataFrame:
+    """parse_stream_stateful + the batch finalize stage (variables,
+    redaction, sizes, deterministic ids — all stateless JVM expressions, so
+    they ride the same streaming query): a streaming DataFrame with the
+    exact PARSED_TURNS sink schema. Tokens are re-derived from the text
+    (one extra tokenize pass) rather than serialized through the Arrow
+    boundary of the stateful handler — array columns through the state op
+    cost more than the re-split."""
+    from ..operators.parse import finalize_parsed
+    from ..functions.masking import tokens_expr
+
+    config = config or PipelineConfig()
+    assigned = parse_stream_stateful(stream, config).withColumn(
+        "tokens", tokens_expr(F.col("text"))
+    )
+    return finalize_parsed(assigned, config, include_text=include_text)
+
+
 def _combine(pd, partials):
     """Merge per-chunk signature stats: weights add, ts bounds widen, the
     canonical first occurrence is the lexicographic (conv, turn) minimum."""

@@ -132,3 +132,78 @@ def test_empty_state_array_roundtrip(spark, tmp_path):
     latest = [r for r in rows if r.first_conv == "d"]
     assert {r.template_id for r in latest} == first
     assert not any(r.creates for r in latest)
+
+
+def test_parse_stream_stateful_converges_to_batch_parse(spark, tmp_path):
+    """Pure-streaming end-to-end parse (parse_stream_stateful + parsed_stream):
+    2 conv_id-range micro-batches must reproduce the one-shot batch
+    parse_pipeline PER TURN — template assignment, is_new anchoring (exactly
+    one founding row per template, in the trigger that founded it),
+    variables, and sizes — including NULL/empty-text rows preserved with
+    NULL template."""
+    from pyspark.sql import functions as F
+
+    from log_parser_mind_spark.streaming.stateful_miner import parsed_stream
+
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # batch 1 (conv a*): founds "connect failed to <*>" and a solo template
+        ("a0", 0, "user", "connect failed to alpha", "none", T0),
+        ("a0", 1, "user", "connect failed to beta", "none", T0 + s),
+        ("a1", 0, "agent", "disk usage at 93 percent now", "none", T0 + 2 * s),
+        ("a1", 1, "user", None, "none", T0 + 3 * s),           # NULL text
+        ("a1", 2, "user", "   ", "none", T0 + 4 * s),          # empty sig
+        # batch 2 (conv m*): same sig as batch 1 (must reuse, is_new=False),
+        # a new member of the batch-1 cluster, and a brand-new template
+        ("m0", 0, "user", "connect failed to alpha", "none", T0 + 5 * s),
+        ("m0", 1, "user", "connect failed to gamma", "none", T0 + 6 * s),
+        ("m1", 0, "agent", "queue depth exceeded hard limit", "none", T0 + 7 * s),
+    ]
+    df = _tr(spark, rows)
+    in_path = str(tmp_path / "in_pss")
+    df.repartitionByRange(2, "conv_id").write.parquet(in_path)
+    # FileStreamSource orders triggers by mtime: pin it to path order so
+    # batch 1 is the LOWER conv range (canonical order — required for
+    # founding-row placement; template aggregates wouldn't care).
+    import glob as _g
+    import os as _os
+
+    for i, f in enumerate(sorted(_g.glob(f"{in_path}/part-*"))):
+        _os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = spark.readStream.schema(TRANSCRIPTS).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_path)
+    out_dir = str(tmp_path / "out_pss")
+    q = (
+        parsed_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck_pss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish in time"
+    got = spark.read.parquet(out_dir)
+
+    want, _, _ = parse.parse_pipeline(df)
+    cols = [
+        "conv_id", "turn_idx", "log_id", "ts", "source", "tool", "text",
+        "template_id", "template", "is_new", "original_size", "compressed_size",
+    ]
+    key = lambda r: (r[0], r[1])
+    g = sorted([tuple(r) for r in got.select(*cols, F.to_json("variables")).collect()], key=key)
+    w = sorted([tuple(r) for r in want.select(*cols, F.to_json("variables")).collect()], key=key)
+    assert g == w
+
+    # NULL/empty-text rows survived with NULL template
+    nulls = {r.conv_id for r in got.filter(F.col("template_id").isNull()).collect()}
+    assert ("a1" in nulls) and got.count() == len(rows)
+    # exactly one founding row per template, and the cross-batch repeat sig
+    # did NOT re-anchor
+    anchors = got.filter(F.col("is_new")).select("conv_id", "turn_idx", "template_id").collect()
+    assert len(anchors) == len({r.template_id for r in anchors}) == 3
+    assert all(r.conv_id.startswith("a") or r.template_id for r in anchors)
+    m_repeat = got.filter((F.col("conv_id") == "m0") & (F.col("turn_idx") == 0)).collect()[0]
+    assert m_repeat.is_new is False
