@@ -227,6 +227,35 @@ def q_stateful_templates(spark, sf_dir):
     )
 
 
+def q_streaming_parsed(spark, sf_dir):
+    """Pure-streaming END-TO-END parse (streaming.stateful_miner
+    parsed_stream): per-turn template assignment inside the stateful mining
+    operator itself — the full per-log `processLog` path
+    (cmd/ingestion/main.go:64-99) as ONE streaming query, no foreachBatch
+    and no join back onto the stream. Same corpus, 2-file conv_id-range
+    split (mtime-pinned so trigger order == canonical (conv, turn) order)
+    as the other streaming queries; oracle = the drain_parsed_turns golden,
+    so the streamed sink must equal the one-shot batch parse PER TURN —
+    template assignment, is_new founding-row placement, and sizes."""
+    from log_parser_mind_spark.streaming.stateful_miner import parsed_stream
+
+    root, stream = _staged_transcript_stream(spark, sf_dir, "logmind_sparse_contract_")
+    q = (
+        parsed_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out").select(
+        "conv_id", "turn_idx", "template_id", "is_new",
+        "original_size", "compressed_size",
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Dedup-at-ingestion (streaming.streaming_exact_dedup): the documents
     corpus split into 2 micro-batches, state-store dropDuplicates on the
@@ -2101,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_dups": q_simhash_hamming_dups,
         "streaming_templates": q_streaming_templates,
         "stateful_templates": q_stateful_templates,
+        "streaming_parsed": q_streaming_parsed,
         "streaming_dedup": q_streaming_dedup,
         "multimodal_features": q_multimodal_features,
         # grok/parse layer (oracle-checked)
@@ -2210,6 +2240,11 @@ def oracle_sql() -> dict[str, str]:
             "drain_templates", "template_id, pattern, log_count"
         ),
         "streaming_dedup": _ORACLE_STREAMING_DEDUP,
+        # pure-streaming per-turn parse must equal the batch parse golden
+        "streaming_parsed": _golden_sql(
+            "drain_parsed_turns",
+            "conv_id, turn_idx, template_id, is_new, original_size, compressed_size",
+        ),
         "drain_parsed_turns": _golden_sql(
             "drain_parsed_turns",
             "conv_id, turn_idx, template_id, is_new, original_size, compressed_size",
