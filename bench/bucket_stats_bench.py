@@ -102,6 +102,44 @@ def main(replicas: int = 16) -> None:
         similarity.hyperplane_bucket(emb_big, dim=64, n_planes=auto_planes), ["bucket"]
     )
 
+    # AQE skew-join evidence for the simhash band self-join (VERDICT r4
+    # item 4): run the ACTUAL pair join and count skew-split nodes in the
+    # final adaptive plan, at default thresholds and again with the byte
+    # thresholds lowered ~1000× to the notch's partition sizes (broadcast
+    # disabled so the join is shuffled at all — at notch scale the band
+    # table broadcasts and there is no shuffle join to split). Expected and
+    # measured: ZERO splits in every configuration, because AQE detects
+    # skew on reducer-INPUT bytes while a band join's hazard is join-OUTPUT
+    # rows (Σ bucket²) produced from KB-sized input partitions — the hot
+    # bucket is invisible to the mechanism. Recorded as the correction of
+    # an earlier BENCH claim; the real 100 TB controls are the bucket-stats
+    # cost model + the empty-doc guard, not AQE.
+    import re
+
+    def _skew_probe(conf: dict) -> dict:
+        for key, val in conf.items():
+            spark.conf.set(key, val)
+        try:
+            pairs = dedup.simhash_near_dup_pairs(big, k=3)
+            n_pairs = pairs.count()
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            return {
+                "pairs": n_pairs,
+                "skew_split_nodes": len(re.findall(r"skew=true", plan)),
+                "join_nodes": sorted(set(re.findall(r"(\w*HashJoin|SortMergeJoin)", plan))),
+            }
+        finally:
+            for key in conf:
+                spark.conf.unset(key)
+
+    skew_default = _skew_probe({})
+    skew_forced = _skew_probe({
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    })
+
     print(
         json.dumps(
             {
@@ -112,6 +150,8 @@ def main(replicas: int = 16) -> None:
                 "simhash_bands": simhash_stats,
                 "hyperplane_fixed8": hp_fixed,
                 "hyperplane_auto": {"planes": auto_planes, **hp_auto},
+                "simhash_skew_join_default": skew_default,
+                "simhash_skew_join_forced_smj_low_thresholds": skew_forced,
                 "cpus": cpus,
             }
         )

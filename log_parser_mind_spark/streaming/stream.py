@@ -156,6 +156,110 @@ def incremental_pipeline(
     )
 
 
+def stateful_pipeline(
+    spark: SparkSession,
+    stream: DataFrame,
+    root: str,
+    config: PipelineConfig | None = None,
+    query_name: str = "logmind_stateful",
+    checkpoint_location: str | None = None,
+):
+    """The HYBRID streaming path (docs/streaming.md): per-turn parse via the
+    state-store miner (streaming.stateful_miner.parsed_stream — mining state
+    in the checkpoint, per-turn assignment inside the query, no dimension
+    re-read per trigger) + foreachBatch committing BOTH durable sinks to the
+    SnapshotStore with the same lineage-scoped exactly-once run_ids as
+    incremental_pipeline.
+
+    Per epoch it commits the parsed rows (append-style epochs) and merges
+    the template dimension re-derived FROM those parsed rows — template_id
+    is a content hash and log_count adds, so the merge is idempotent and a
+    replayed epoch dedups on its run_id. Unlike incremental_pipeline, the
+    per-trigger cost never touches the committed dimension (state carries
+    the tree), and unlike a bare parsed_stream parquet sink, a crash cannot
+    leave the two sinks inconsistent: both commit under one epoch run_id.
+
+    Same exact-convergence contract as the underlying operator: trigger
+    order aligned with canonical (conv, turn) order and no cross-trigger
+    template generalization."""
+    import os
+    import uuid
+
+    from .stateful_miner import parsed_stream
+
+    config = config or PipelineConfig()
+    store = SnapshotStore(spark, root)
+    ck = checkpoint_location or os.path.join(root, "_checkpoint", query_name)
+    os.makedirs(ck, exist_ok=True)
+    # Same lineage-inside-checkpoint rule as incremental_pipeline (see the
+    # comment there): fresh checkpoint → fresh lineage, never stale dedup.
+    lineage_file = os.path.join(ck, "_lineage")
+    if not os.path.exists(lineage_file):
+        with open(lineage_file, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+    with open(lineage_file) as fh:
+        lineage = fh.read().strip()
+
+    def process(parsed_batch: DataFrame, epoch_id: int) -> None:
+        parsed_batch = parsed_batch.persist()
+        try:
+            run_id = f"{lineage}_epoch_{epoch_id}"
+            store.commit(
+                parsed_batch,
+                "stream_parsed",
+                run_id=run_id,
+                skip_if_committed=True,
+                marker_extra={"append_style": True},
+            )
+            templates = (
+                parsed_batch.filter(F.col("template_id").isNotNull())
+                .groupBy("template_id", F.col("template").alias("pattern"))
+                .agg(
+                    F.count(F.lit(1)).alias("log_count"),
+                    F.min("ts").alias("first_seen"),
+                    F.max("ts").alias("last_seen"),
+                )
+                .select(
+                    "template_id", "pattern",
+                    F.split("pattern", " ").alias("tokens"),
+                    "log_count", "first_seen", "last_seen",
+                    F.array().cast("array<string>").alias("sample_logs"),
+                )
+            )
+            try:
+                prior = store.read("stream_templates")
+                merged = (
+                    prior.unionByName(templates)
+                    .groupBy("template_id", "pattern")
+                    .agg(
+                        F.first("tokens").alias("tokens"),
+                        F.sum("log_count").alias("log_count"),
+                        F.min("first_seen").alias("first_seen"),
+                        F.max("last_seen").alias("last_seen"),
+                        F.first("sample_logs").alias("sample_logs"),
+                    )
+                )
+            except FileNotFoundError:
+                merged = templates
+            store.commit(
+                merged,
+                "stream_templates",
+                run_id=run_id,
+                skip_if_committed=True,
+            )
+        finally:
+            parsed_batch.unpersist()
+
+    return (
+        parsed_stream(stream, config)
+        .writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(process)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+    )
+
+
 def streaming_exact_dedup(
     docs_stream: DataFrame,
     text_col: str = "text",
