@@ -300,3 +300,71 @@ def test_streaming_dedup_watermark_branch(spark, tmp_path):
     # documented contract): exactly one row per normalized text.
     norms = sorted(r._norm for r in got)
     assert norms == ["alpha beta", "gamma delta"]
+
+
+def test_stateful_pipeline_hybrid_converges_and_resumes(spark, tmp_path):
+    """The HYBRID path (docs/streaming.md): state-store mining + per-turn
+    assignment in the query, foreachBatch committing both sinks. Must
+    converge to the one-shot batch parse (parsed rows per turn, template
+    set + counts) across 2 mtime-ordered micro-batches, and a re-run over
+    the same checkpoint must be a no-op (exactly-once run_ids)."""
+    import glob
+    import os
+
+    from log_parser_mind_spark.operators.parse import parse_pipeline
+    from log_parser_mind_spark.sources.manifest import SnapshotStore
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = []
+    # Contract-satisfying corpus (no cross-batch generalization): batch 1
+    # (conv a*) fully generalizes each cluster within the batch; batch 2
+    # (conv m*) only re-hits established templates or founds disjoint ones.
+    for i, host in enumerate(("alpha", "beta", "gamma")):
+        rows.append(("a0", i, "user", f"connect failed to {host}", "none", t0 + i * s))
+    rows.append(("a1", 0, "agent", "disk usage at 93 percent now", "none", t0 + 4 * s))
+    rows.append(("a1", 1, "agent", "disk usage at 77 percent now", "none", t0 + 5 * s))
+    rows.append(("m0", 0, "user", "connect failed to delta", "none", t0 + 6 * s))
+    rows.append(("m0", 1, "user", "queue depth exceeded hard limit", "none", t0 + 7 * s))
+    rows.append(("m1", 0, "agent", "disk usage at 50 percent now", "none", t0 + 8 * s))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    in_path = str(tmp_path / "hy_in")
+    df.repartitionByRange(2, "conv_id").write.parquet(in_path)
+    for i, f in enumerate(sorted(glob.glob(f"{in_path}/part-*"))):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    root = str(tmp_path / "hy_snap")
+
+    def run():
+        stream = st.stream_transcripts(spark, in_path, max_files=1)
+        q = st.stateful_pipeline(spark, stream, root).start()
+        assert q.awaitTermination(180), "stateful_pipeline did not finish"
+
+    run()
+    store = SnapshotStore(spark, root)
+    got_parsed = store.read_all("stream_parsed")
+    got_templates = store.read("stream_templates")
+
+    want_parsed, want_templates, _ = parse_pipeline(df)
+    cols = ["conv_id", "turn_idx", "template_id", "template", "is_new",
+            "original_size", "compressed_size"]
+    g = sorted(map(tuple, got_parsed.select(*cols).collect()))
+    w = sorted(map(tuple, want_parsed.select(*cols).collect()))
+    assert g == w
+
+    gt = sorted(map(tuple, got_templates.select("template_id", "pattern", "log_count").collect()))
+    wt = sorted(map(tuple, want_templates.select(
+        "template_id", "pattern", F.col("log_count").cast("long")).collect()))
+    assert gt == wt
+
+    # resume over the same checkpoint: no new input -> no duplicate commits
+    run()
+    assert store.read_all("stream_parsed").count() == len(g)
+    gt2 = sorted(map(tuple, store.read("stream_templates")
+                     .select("template_id", "pattern", "log_count").collect()))
+    assert gt2 == gt
