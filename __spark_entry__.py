@@ -295,6 +295,26 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """The REAL decode path (fake=False) on in-container-decodable formats:
+    hash-derived binary PPM images + PCM16 WAV audio (sources.multimodal
+    synth_real_assets), pixels/samples → 16-dim features, posexploded to
+    scalars so the locked golden pins EVERY feature value. Decoding is
+    pure Python over bytes — not SQL-expressible — so the oracle is a
+    locked deterministic golden (parallelism invariance is what it pins);
+    pytest separately round-trips the decoders against known vectors."""
+    assets = multimodal.synth_real_assets(spark, n=32)
+    feats = multimodal.decode_and_featurize(assets, fake=False)
+    return feats.select(
+        "asset_id", "media_type", F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    ).select(
+        "asset_id", "media_type", "n_bytes",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        F.round(F.col("feat_value").cast("double"), 6).alias("feat_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grok/parse layer over documents — DuckDB-checkable (P1-P6, F6)
 # ---------------------------------------------------------------------------
@@ -876,6 +896,26 @@ def q_ivf_ann_topk(spark, sf_dir):
     res = similarity.ivf_topk(
         emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
         k=3, n_centroids=4, n_probe=2, dim=64,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ivf_ann_topk_scaled(spark, sf_dir):
+    """IVF at a corpus-scaled config (VERDICT r4 item 5): n_centroids=16 ≈
+    √corpus for the 495-vector sf0.01 corpus (vs the small 4-list pin) and
+    n_probe=4 — a quarter of the lists probed instead of half, the dial a
+    100 TB deployment actually sits at. Same locked-golden oracle class as
+    ivf_ann_topk: k-means is iterative with driver-side centroid state, so
+    the golden pins determinism/parallelism-invariance at a SECOND point of
+    the (n_centroids, n_probe) surface; list balance is measured separately
+    (bucket_stats_bench ivf_lists)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
+        k=3, n_centroids=16, n_probe=4, dim=64,
     )
     return res.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
@@ -2133,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_parsed": q_streaming_parsed,
         "streaming_dedup": q_streaming_dedup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_decode": q_multimodal_real_decode,
         # grok/parse layer (oracle-checked)
         "mask_documents": q_mask_documents,
         "redact_documents": q_redact_documents,
@@ -2155,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_ann_topk_scaled": q_ivf_ann_topk_scaled,
         "embed_ann_topk": q_embed_ann_topk,
         "curated_corpus": q_curated_corpus,
         "search_similar": q_search_similar,
@@ -2270,8 +2312,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_dups": _golden_sql("simhash_hamming_dups", "id_a, id_b, hamming"),
         "minhash_candidates": _golden_sql("minhash_candidates", "id_a, id_b"),
         "multimodal_features": _golden_sql("multimodal_features", "asset_id, media_type, n_bytes"),
+        "multimodal_real_decode": _golden_sql(
+            "multimodal_real_decode",
+            "asset_id, media_type, n_bytes, feat_idx, feat_value",
+        ),
         "embed_ann_topk": _golden_sql("embed_ann_topk", "query_id, neighbor_id, cosine, rank"),
         "ivf_ann_topk": _golden_sql("ivf_ann_topk", "query_id, neighbor_id, cosine, rank"),
+        "ivf_ann_topk_scaled": _golden_sql(
+            "ivf_ann_topk_scaled", "query_id, neighbor_id, cosine, rank"
+        ),
         "curated_corpus": _oracle_curated_corpus(),
         "filter_project": _ORACLE_FILTER_PROJECT,
         "text_search": _ORACLE_TEXT_SEARCH,

@@ -102,6 +102,23 @@ def main(replicas: int = 16) -> None:
         similarity.hyperplane_bucket(emb_big, dim=64, n_planes=auto_planes), ["bucket"]
     )
 
+    # IVF list balance at the vector notch (VERDICT r4 item 5): bucket_stats
+    # over the fitted inverted-list assignments. The probe join's cost is
+    # Σ over probed lists of |list| per query — max_bucket is the worst
+    # single-list scan and max/mean the imbalance factor a probe can hit vs
+    # the uniform n/k estimate. sum_sq is comparable to the LSH rows only
+    # if EVERY list were probed; the table records it for the same
+    # skew-shape reading as the other bucketings.
+    ivf_k = 64
+    ivf_assigned = similarity.ivf_assignments(
+        emb_big, n_centroids=ivf_k, iterations=3, dim=64
+    )
+    ivf_stats = _stats(ivf_assigned, ["centroid_id"])
+    ivf_stats["n_centroids"] = ivf_k
+    ivf_stats["imbalance_max_over_mean"] = round(
+        ivf_stats["max_bucket"] * ivf_stats["n_buckets"] / n_vecs, 2
+    )
+
     # AQE skew-join evidence for the simhash band self-join (VERDICT r4
     # item 4): run the ACTUAL pair join and count skew-split nodes in the
     # final adaptive plan, at default thresholds and again with the byte
@@ -150,6 +167,7 @@ def main(replicas: int = 16) -> None:
                 "simhash_bands": simhash_stats,
                 "hyperplane_fixed8": hp_fixed,
                 "hyperplane_auto": {"planes": auto_planes, **hp_auto},
+                "ivf_lists": ivf_stats,
                 "simhash_skew_join_default": skew_default,
                 "simhash_skew_join_forced_smj_low_thresholds": skew_forced,
                 "cpus": cpus,

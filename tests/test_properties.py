@@ -276,3 +276,100 @@ def test_connected_components_matches_union_find(spark, raw_pairs):
     # batching many examples in the shared session must release each one
     comps.unpersist()
     assert got == _cc_py(pairs)
+
+
+# ---------------------------------------------------------------------------
+# r5: span ops under RANDOM separators (incl. regex metacharacters and
+# multi-char seps — the _regex_literal quoting path) and pathological
+# corpora, vs sep-parameterized pure-Python references.
+# ---------------------------------------------------------------------------
+
+_SEPS = ["\n", "|", ". ", "**", "\\E", "\\Q", "[", ".", "+", " ", "ab", "||", "\n\n"]
+
+
+def _norm_line(line):
+    import re
+
+    return re.sub(r"\s+", " ", line.strip(" ")).lower()
+
+
+def _strip_boiler_py(texts, sep, min_doc_frac=0.05, min_docs=None):
+    """Reference for curate.strip_boilerplate: literal-sep split, normalized
+    line identity, drop EVERY occurrence of a line in >= threshold distinct
+    docs (empty lines not exempt), rejoin with the literal sep."""
+    import math
+    from collections import defaultdict
+
+    docs_per = defaultdict(set)
+    for i, t in enumerate(texts):
+        for line in (t or "").split(sep):
+            docs_per[_norm_line(line)].add(i)
+    thr = min_docs if min_docs is not None else max(2, math.ceil(len(texts) * min_doc_frac))
+    boiler = {k for k, s in docs_per.items() if len(s) >= thr}
+    return {
+        i: sep.join(l for l in (t or "").split(sep) if _norm_line(l) not in boiler)
+        for i, t in enumerate(texts)
+    }
+
+
+def _paragraph_dedup_sep_py(texts, sep):
+    """_paragraph_dedup_py generalized to an arbitrary literal separator."""
+    seen = set()
+    out = {}
+    for i, t in enumerate(texts):
+        kept = []
+        for p in (t or "").split(sep):
+            n = _norm_line(p)
+            if n == "":
+                kept.append(p)
+            elif n not in seen:
+                seen.add(n)
+                kept.append(p)
+        out[i] = sep.join(kept)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.text(alphabet=" ab\n|.*E", max_size=40), min_size=2, max_size=10),
+    st.sampled_from(_SEPS),
+)
+def test_strip_boilerplate_random_seps_matches_reference(spark, texts, sep):
+    from log_parser_mind_spark.operators.curate import strip_boilerplate
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.text for r in strip_boilerplate(docs, sep=sep, min_docs=2).collect()}
+    assert got == _strip_boiler_py(texts, sep, min_docs=2)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.text(alphabet=" ab\n|.*E", max_size=40), min_size=1, max_size=10),
+    st.sampled_from(_SEPS),
+)
+def test_dedup_paragraphs_random_seps_matches_reference(spark, texts, sep):
+    from log_parser_mind_spark.operators.curate import dedup_paragraphs
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup_paragraphs(docs, sep=sep).collect()}
+    assert got == _paragraph_dedup_sep_py(texts, sep)
+
+
+def test_span_ops_pathological_corpora(spark):
+    """All-boilerplate corpus: every doc reduces to '' but every ROW survives
+    (downstream joins key on it). Single-paragraph ×N: exactly the global
+    first occurrence keeps its text; replicas keep blank structure only."""
+    from log_parser_mind_spark.operators.curate import dedup_paragraphs, strip_boilerplate
+
+    same = spark.createDataFrame(
+        [(i, "nav | footer") for i in range(6)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in strip_boilerplate(same, sep=" | ").collect()}
+    assert out == {i: "" for i in range(6)}
+
+    solo = spark.createDataFrame(
+        [(i, "only paragraph here") for i in range(5)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in dedup_paragraphs(solo).collect()}
+    assert got[0] == "only paragraph here"
+    assert all(got[i] == "" for i in range(1, 5))

@@ -1012,3 +1012,58 @@ def test_top_ngrams_heavy_hitters(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = [(r.gram, r["count"], r.n_docs) for r in top_ngrams(docs, n=2, k=2).collect()]
     assert got == [("a b", 3, 2), ("b a", 1, 1)]  # "b a" < "b c" on the tie
+
+
+def test_real_decode_known_vectors(spark):
+    """PPM and WAV decoders against hand-computable payloads, the header
+    grammar (comments), malformed-input errors, and the still-gated formats."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    # 2x2 PPM: R, G, B, white — with a header comment
+    raster = bytes([255,0,0, 0,255,0, 0,0,255, 255,255,255])
+    ppm = b"P6\n# comment\n2 2\n255\n" + raster
+    w, h, px = multimodal.decode_ppm(ppm)
+    assert (w, h) == (2, 2) and px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[1, 1].tolist() == [255, 255, 255]
+    feats = multimodal._ppm_features(ppm)
+    assert len(feats) == multimodal.FEATURE_DIM
+    # mean of each channel over [1,0,0],[0,1,0],[0,0,1],[1,1,1] = 0.5
+    assert feats[2:5] == [0.5, 0.5, 0.5]
+
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n" + raster[:-1])
+    with _pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)
+    with _pytest.raises(ValueError, match="P6 magic"):
+        multimodal.decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+    # WAV: constant +8192 amplitude -> rms = peak = 0.25, zcr = 0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(8000)
+        wf.writeframes(struct.pack("<100h", *([8192] * 100)))
+    n_ch, rate, samples = multimodal.decode_wav(buf.getvalue())
+    assert (n_ch, rate, samples.tolist()) == (1, 8000, [8192] * 100)
+    af = multimodal._wav_features(buf.getvalue())
+    assert af[3] == af[5] == 0.25 and af[4] == 0.0
+    assert af[2] == round(100 / 8000, 6)
+
+    # end-to-end over the synthetic real assets: Spark == driver-side map
+    assets = multimodal.synth_real_assets(spark, n=8)
+    got = {
+        r.asset_id: tuple(round(float(x), 6) for x in r.features)
+        for r in multimodal.decode_and_featurize(assets, fake=False).collect()
+    }
+    for row in assets.select("asset_id", "media_type", "payload").collect():
+        want = multimodal._real_features(row.media_type, bytes(row.payload))
+        assert got[row.asset_id] == tuple(want), row.asset_id
+
+    # gate stays loud for undeodable formats
+    fake_assets = multimodal.synth_assets(spark, n=3)  # x-fake payloads
+    with _pytest.raises(Exception, match="codec|NotImplemented"):
+        multimodal.decode_and_featurize(fake_assets, fake=False).collect()

@@ -136,6 +136,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "multimodal_features",
         "embed_ann_topk",
         "ivf_ann_topk",
+        "ivf_ann_topk_scaled",
+        "multimodal_real_decode",
     ):
         write(name, None)
     spark.stop()
