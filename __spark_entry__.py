@@ -157,16 +157,11 @@ def _staged_transcript_stream(spark, sf_dir, prefix):
     root = tempfile.mkdtemp(prefix=prefix)
     t = documents_as_transcripts(spark, sf_dir)
     t.repartitionByRange(2, "conv_id").write.mode("overwrite").parquet(f"{root}/input")
-    # FileStreamSource orders triggers by mtime; both part files get the
-    # same write-time stamp, so pin mtime to PATH order — part-00000 is the
-    # lower conv_id range, so trigger order == canonical (conv, turn) order.
-    # Template-aggregate convergence is order-insensitive, but per-turn
-    # is_new placement (streaming_parsed) requires the canonical order.
-    import glob as _glob
-    import os as _os
+    # Trigger order == canonical (conv, turn) order — required by the
+    # per-turn is_new placement (streaming_parsed); see the helper.
+    from log_parser_mind_spark.streaming.stream import pin_stream_file_order
 
-    for i, f in enumerate(sorted(_glob.glob(f"{root}/input/part-*"))):
-        _os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    pin_stream_file_order(f"{root}/input")
     return root, stream_transcripts(spark, f"{root}/input", max_files=1)
 
 

@@ -86,15 +86,25 @@ spark = get_spark(app_name='tw_sf1_{name}', master='local[32]', extra_conf={{
 }})
 tr = spark.read.parquet({input!r}).withColumn(
     'conv_idx', F.substring('conv_id', 6, 8).cast('long'))
-input_text_mb = tr.agg((F.sum(F.octet_length('text'))/1e6).alias('mb')).collect()[0].mb
 t0 = time.time()
 {body}
 wall = time.time() - t0
 metrics['wall_sec'] = round(wall, 2)
-metrics['input_text_mb'] = round(input_text_mb, 1)
 print('RESULT ' + json.dumps(metrics))
 spark.stop()
 """
+
+
+def _text_mb(input_path: str) -> float:
+    """Corpus text bytes, computed in the PARENT via DuckDB so the number
+    never contaminates the per-op event logs (a Spark pre-pass in the
+    subprocess would add its own scan + agg exchange to the attribution)."""
+    import duckdb
+
+    (b,) = duckdb.sql(
+        f"SELECT sum(octet_length(text)) FROM '{input_path}/*.parquet'"
+    ).fetchone()
+    return round(b / 1e6, 1)
 
 
 def run_op(name: str, input_path: str) -> dict:
@@ -122,10 +132,13 @@ def main() -> None:
     big_path, n_big = prepare_input(big_convs)
     print(f"small={n_small} turns  big={n_big} turns")
 
+    small_text_mb, big_text_mb = _text_mb(small_path), _text_mb(big_path)
     report: dict[str, dict] = {}
     for name in OPS:
         s = run_op(name, small_path)
+        s["input_text_mb"] = small_text_mb
         b = run_op(name, big_path)
+        b["input_text_mb"] = big_text_mb
         report[name] = {"small": s, "big": b,
                         "wall_ratio": round(b["wall_sec"] / s["wall_sec"], 2)}
         print(name, json.dumps(report[name]))

@@ -137,10 +137,15 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
-    pos += 1  # exactly one whitespace byte after maxval
-    raster = payload[pos : pos + w * h * 3]
-    if len(raster) != w * h * 3:
+    # exactly ONE whitespace byte separates maxval from the raster
+    if pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM header (raster must follow one whitespace byte)")
+    pos += 1
+    raster = payload[pos:]
+    if len(raster) < w * h * 3:
         raise ValueError(f"truncated PPM raster: {len(raster)} of {w * h * 3} bytes")
+    if len(raster) > w * h * 3:
+        raise ValueError(f"trailing bytes after PPM raster: {len(raster) - w * h * 3}")
     return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 

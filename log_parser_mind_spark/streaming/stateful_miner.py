@@ -223,35 +223,34 @@ def parse_stream_stateful(
             return
         allp = pd.concat(chunks, ignore_index=True)
         mined = allp[allp["masked_sig"].notna() & (allp["masked_sig"] != "")]
-        amap: dict = {}
-        first_key: dict = {}
+        out = allp[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
+        # Vectorized assignment (the handler holds O(rows) by design, so a
+        # per-row Python loop here would dominate large triggers): map the
+        # sig→assignment dicts over the Series; is_new starts null (no
+        # template), flips False for every assigned row, then True exactly
+        # at the founding first-occurrence rows — `firsts` keeps allp's
+        # index labels, so its creates-subset indexes the output directly.
+        tid_map: dict = {}
+        tpl_map: dict = {}
+        is_new = pd.Series(pd.NA, index=allp.index, dtype="boolean")
         if len(mined):
             firsts = mined.sort_values(
                 ["conv_id", "turn_idx"], kind="mergesort"
             ).drop_duplicates("masked_sig", keep="first")
             sigs = firsts["masked_sig"].tolist()
-            convs = firsts["conv_id"].tolist()
-            turns = firsts["turn_idx"].tolist()
             seeds = list(state.get[0]) if state.exists else []
-            assigned, final_patterns = cluster_leaf(sigs, convs, turns, seeds, sim)
+            assigned, final_patterns = cluster_leaf(
+                sigs, firsts["conv_id"].tolist(), firsts["turn_idx"].tolist(), seeds, sim
+            )
             state.update((final_patterns,))
-            amap = dict(zip(sigs, assigned))
-            first_key = {s: (c, t) for s, c, t in zip(sigs, convs, turns)}
-        tids, tpls, news = [], [], []
-        for sig, conv, turn in zip(
-            allp["masked_sig"], allp["conv_id"], allp["turn_idx"]
-        ):
-            a = amap.get(sig)
-            if a is None:
-                tids.append(None); tpls.append(None); news.append(None)
-            else:
-                tids.append(a[0])
-                tpls.append(a[1])
-                news.append(bool(a[2]) and first_key[sig] == (conv, turn))
-        out = allp[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
-        out["template_id"] = tids
-        out["template"] = tpls
-        out["is_new"] = pd.array(news, dtype="boolean")
+            tid_map = {s: a[0] for s, a in zip(sigs, assigned)}
+            tpl_map = {s: a[1] for s, a in zip(sigs, assigned)}
+            creates = {s for s, a in zip(sigs, assigned) if a[2]}
+            is_new[mined.index] = False
+            is_new[firsts.index[firsts["masked_sig"].isin(creates)]] = True
+        out["template_id"] = allp["masked_sig"].map(tid_map)
+        out["template"] = allp["masked_sig"].map(tpl_map)
+        out["is_new"] = is_new
         yield out
 
     return keyed.groupBy("n_tokens", "k0", "k1").applyInPandasWithState(

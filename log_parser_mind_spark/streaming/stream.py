@@ -57,6 +57,72 @@ def streaming_volume_windows(transcripts: DataFrame, watermark: str = "10 minute
     )
 
 
+def _checkpoint_lineage(root: str, query_name: str, checkpoint_location: str | None) -> tuple[str, str]:
+    """Resolve the checkpoint dir and its lineage id (shared by every
+    foreachBatch pipeline; ONE implementation so the stale-commit guard
+    cannot drift between paths).
+
+    Epoch ids are only unique WITHIN one checkpoint lineage: a deleted
+    checkpoint restarts epochs at 0 over re-batched input, and a bare
+    epoch-keyed run_id would then match an old commit and silently DROP the
+    new batch. Pin a lineage uuid INSIDE the checkpoint dir (same lifecycle
+    by construction): fresh checkpoint → fresh lineage → replays commit
+    fresh (worst case duplicates, never loss); same checkpoint → replayed
+    epochs dedup. Callers that want a non-default checkpoint MUST pass
+    checkpoint_location to the pipeline rather than a later
+    .option("checkpointLocation") — an .option override would leave the
+    lineage file under the default path with a different lifecycle than the
+    offset log, re-opening the stale-commit data-loss window this file
+    exists to close."""
+    import os
+    import uuid
+
+    ck = checkpoint_location or os.path.join(root, "_checkpoint", query_name)
+    os.makedirs(ck, exist_ok=True)
+    lineage_file = os.path.join(ck, "_lineage")
+    if not os.path.exists(lineage_file):
+        with open(lineage_file, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+    with open(lineage_file) as fh:
+        return ck, fh.read().strip()
+
+
+def _merge_templates(store: SnapshotStore, templates: DataFrame) -> DataFrame:
+    """Upsert the batch's templates into the committed dimension (U1
+    semantics: groupBy sum/min/max; ReplacingMergeTree analog). Template ids
+    are content hashes, so the merge is idempotent by value."""
+    try:
+        prior = store.read("stream_templates")
+    except FileNotFoundError:
+        return templates
+    return (
+        prior.unionByName(templates)
+        .groupBy("template_id", "pattern")
+        .agg(
+            F.first("tokens").alias("tokens"),
+            F.sum("log_count").alias("log_count"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+            F.first("sample_logs").alias("sample_logs"),
+        )
+    )
+
+
+def pin_stream_file_order(input_path: str) -> None:
+    """Pin FileStreamSource trigger order to PATH order: the source orders
+    files by mtime and a single write stamps every part file identically,
+    so trigger order would be listing-dependent. Setting mtimes to ascending
+    path order makes part-00000 (the lowest range key under
+    repartitionByRange) the first trigger — the canonical-order prerequisite
+    for per-turn is_new convergence (docs/streaming.md §contract). Template
+    aggregates are order-insensitive and don't need this."""
+    import glob
+    import os
+
+    for i, f in enumerate(sorted(glob.glob(os.path.join(input_path, "part-*")))):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+
+
 def incremental_pipeline(
     spark: SparkSession,
     stream: DataFrame,
@@ -73,32 +139,11 @@ def incremental_pipeline(
     snapshot store (upsert = groupBy min/max/sum — U1 semantics). Template
     IDs are content hashes, so re-mining a template already known yields the
     same ID and the merge is idempotent (exactly-once sinks)."""
-    import os
-    import uuid
-
     from ..operators.parse import parse_pipeline
 
     config = config or PipelineConfig()
     store = SnapshotStore(spark, root)
-    # Epoch ids are only unique WITHIN one checkpoint lineage: a deleted
-    # checkpoint restarts epochs at 0 over re-batched input, and a bare
-    # epoch-keyed run_id would then match an old commit and silently DROP the
-    # new batch. Pin a lineage uuid INSIDE the checkpoint dir (same lifecycle
-    # by construction): fresh checkpoint → fresh lineage → replays commit
-    # fresh (worst case duplicates, never loss); same checkpoint → replayed
-    # epochs dedup. Callers that want a non-default checkpoint MUST pass
-    # checkpoint_location here rather than a later .option("checkpointLocation")
-    # — an .option override would leave the lineage file under the default
-    # path with a different lifecycle than the offset log, re-opening the
-    # stale-commit data-loss window this file exists to close.
-    ck = checkpoint_location or os.path.join(root, "_checkpoint", query_name)
-    os.makedirs(ck, exist_ok=True)
-    lineage_file = os.path.join(ck, "_lineage")
-    if not os.path.exists(lineage_file):
-        with open(lineage_file, "w") as fh:
-            fh.write(uuid.uuid4().hex)
-    with open(lineage_file) as fh:
-        lineage = fh.read().strip()
+    ck, lineage = _checkpoint_lineage(root, query_name, checkpoint_location)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         try:
@@ -116,26 +161,11 @@ def incremental_pipeline(
             # pruning even if the operator forgets to declare this sink.
             marker_extra={"append_style": True},
         )
-        try:
-            prior = store.read("stream_templates")
-            merged = (
-                prior.unionByName(templates)
-                .groupBy("template_id", "pattern")
-                .agg(
-                    F.first("tokens").alias("tokens"),
-                    F.sum("log_count").alias("log_count"),
-                    F.min("first_seen").alias("first_seen"),
-                    F.max("last_seen").alias("last_seen"),
-                    F.first("sample_logs").alias("sample_logs"),
-                )
-            )
-        except FileNotFoundError:
-            merged = templates
         # Templates are a replace-style sink (read() = latest merged state):
         # a replayed epoch recommitting the same merge is idempotent by
         # value, and the lineage-scoped run_id dedups sequential replays.
         store.commit(
-            merged,
+            _merge_templates(store, templates),
             "stream_templates",
             run_id=f"{lineage}_epoch_{epoch_id}",
             skip_if_committed=True,
@@ -182,23 +212,11 @@ def stateful_pipeline(
     Same exact-convergence contract as the underlying operator: trigger
     order aligned with canonical (conv, turn) order and no cross-trigger
     template generalization."""
-    import os
-    import uuid
-
     from .stateful_miner import parsed_stream
 
     config = config or PipelineConfig()
     store = SnapshotStore(spark, root)
-    ck = checkpoint_location or os.path.join(root, "_checkpoint", query_name)
-    os.makedirs(ck, exist_ok=True)
-    # Same lineage-inside-checkpoint rule as incremental_pipeline (see the
-    # comment there): fresh checkpoint → fresh lineage, never stale dedup.
-    lineage_file = os.path.join(ck, "_lineage")
-    if not os.path.exists(lineage_file):
-        with open(lineage_file, "w") as fh:
-            fh.write(uuid.uuid4().hex)
-    with open(lineage_file) as fh:
-        lineage = fh.read().strip()
+    ck, lineage = _checkpoint_lineage(root, query_name, checkpoint_location)
 
     def process(parsed_batch: DataFrame, epoch_id: int) -> None:
         parsed_batch = parsed_batch.persist()
@@ -226,23 +244,8 @@ def stateful_pipeline(
                     F.array().cast("array<string>").alias("sample_logs"),
                 )
             )
-            try:
-                prior = store.read("stream_templates")
-                merged = (
-                    prior.unionByName(templates)
-                    .groupBy("template_id", "pattern")
-                    .agg(
-                        F.first("tokens").alias("tokens"),
-                        F.sum("log_count").alias("log_count"),
-                        F.min("first_seen").alias("first_seen"),
-                        F.max("last_seen").alias("last_seen"),
-                        F.first("sample_logs").alias("sample_logs"),
-                    )
-                )
-            except FileNotFoundError:
-                merged = templates
             store.commit(
-                merged,
+                _merge_templates(store, templates),
                 "stream_templates",
                 run_id=run_id,
                 skip_if_committed=True,

@@ -162,14 +162,9 @@ def test_parse_stream_stateful_converges_to_batch_parse(spark, tmp_path):
     df = _tr(spark, rows)
     in_path = str(tmp_path / "in_pss")
     df.repartitionByRange(2, "conv_id").write.parquet(in_path)
-    # FileStreamSource orders triggers by mtime: pin it to path order so
-    # batch 1 is the LOWER conv range (canonical order — required for
-    # founding-row placement; template aggregates wouldn't care).
-    import glob as _g
-    import os as _os
+    from log_parser_mind_spark.streaming.stream import pin_stream_file_order
 
-    for i, f in enumerate(sorted(_g.glob(f"{in_path}/part-*"))):
-        _os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    pin_stream_file_order(in_path)
 
     stream = spark.readStream.schema(TRANSCRIPTS).option(
         "maxFilesPerTrigger", 1
@@ -204,6 +199,9 @@ def test_parse_stream_stateful_converges_to_batch_parse(spark, tmp_path):
     # did NOT re-anchor
     anchors = got.filter(F.col("is_new")).select("conv_id", "turn_idx", "template_id").collect()
     assert len(anchors) == len({r.template_id for r in anchors}) == 3
-    assert all(r.conv_id.startswith("a") or r.template_id for r in anchors)
+    # founding rows land exactly where the batch mine anchors them: the two
+    # batch-1-founded templates on their a* first rows, the batch-2-only
+    # template on its m* first row
+    assert {(r.conv_id, r.turn_idx) for r in anchors} == {("a0", 0), ("a1", 0), ("m1", 0)}
     m_repeat = got.filter((F.col("conv_id") == "m0") & (F.col("turn_idx") == 0)).collect()[0]
     assert m_repeat.is_new is False

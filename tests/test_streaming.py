@@ -308,9 +308,6 @@ def test_stateful_pipeline_hybrid_converges_and_resumes(spark, tmp_path):
     converge to the one-shot batch parse (parsed rows per turn, template
     set + counts) across 2 mtime-ordered micro-batches, and a re-run over
     the same checkpoint must be a no-op (exactly-once run_ids)."""
-    import glob
-    import os
-
     from log_parser_mind_spark.operators.parse import parse_pipeline
     from log_parser_mind_spark.sources.manifest import SnapshotStore
 
@@ -335,8 +332,7 @@ def test_stateful_pipeline_hybrid_converges_and_resumes(spark, tmp_path):
     )
     in_path = str(tmp_path / "hy_in")
     df.repartitionByRange(2, "conv_id").write.parquet(in_path)
-    for i, f in enumerate(sorted(glob.glob(f"{in_path}/part-*"))):
-        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    st.pin_stream_file_order(in_path)
 
     root = str(tmp_path / "hy_snap")
 

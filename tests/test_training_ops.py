@@ -1067,3 +1067,16 @@ def test_real_decode_known_vectors(spark):
     fake_assets = multimodal.synth_assets(spark, n=3)  # x-fake payloads
     with _pytest.raises(Exception, match="codec|NotImplemented"):
         multimodal.decode_and_featurize(fake_assets, fake=False).collect()
+
+
+def test_decode_ppm_rejects_header_and_trailing_garbage():
+    """Review fix: the 'never a silent partial decode' contract — a
+    non-whitespace byte after maxval and trailing bytes after the raster
+    must both raise, not silently decode."""
+    import pytest as _pytest
+
+    raster = bytes(range(12))
+    with _pytest.raises(ValueError, match="whitespace"):
+        multimodal.decode_ppm(b"P6\n2 2\n255X" + raster)
+    with _pytest.raises(ValueError, match="trailing"):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n" + raster + b"junk")
