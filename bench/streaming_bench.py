@@ -15,10 +15,13 @@ workload than the one-pass batch metric the baseline compares against.
 
 Usage: python bench/streaming_bench.py [n_convs] [n_batches] [mode]
 
-``mode`` = foreachbatch (default) | stateful. stateful drives the
+``mode`` = foreachbatch (default) | stateful | hybrid. stateful drives the
 state-store path (streaming.stateful_miner) over the SAME input split —
 the comparison that shows what keeping Drain leaf state in the state store
-buys over re-reading the committed dimension every trigger.
+buys over re-reading the committed dimension every trigger. hybrid drives
+stateful_pipeline (r5): per-TURN parse in the stateful operator +
+foreachBatch SnapshotStore commits — like-for-like with foreachbatch (both
+commit parsed + dimension sinks), unlike stateful (assignments only).
 """
 
 from __future__ import annotations
@@ -69,6 +72,8 @@ def main(n_convs: int = 50_000, n_batches: int = 10, mode: str = "foreachbatch")
                 .trigger(availableNow=True)
                 .start()
             )
+        elif mode == "hybrid":
+            q = st.stateful_pipeline(spark, stream, root).start()
         else:
             q = st.incremental_pipeline(spark, stream, root).start()
         q.awaitTermination()
@@ -96,11 +101,11 @@ def main(n_convs: int = 50_000, n_batches: int = 10, mode: str = "foreachbatch")
         print(
             json.dumps(
                 {
-                    "metric": (
-                        "state-store stateful mining (applyInPandasWithState)"
-                        if mode == "stateful"
-                        else "incremental streaming pipeline (foreachBatch seeded re-mining)"
-                    ),
+                    "metric": {
+                        "stateful": "state-store stateful mining (applyInPandasWithState)",
+                        "hybrid": "hybrid pipeline (stateful per-turn parse + foreachBatch sink commits)",
+                        "foreachbatch": "incremental streaming pipeline (foreachBatch seeded re-mining)",
+                    }[mode],
                     "value": round(total, 3),
                     "unit": "sec",
                     "n_turns": n_turns,
