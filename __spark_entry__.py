@@ -1657,6 +1657,171 @@ FROM d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_ngram_span_dedup(spark, sf_dir):
+    """Substring-level exact dedup (curate.dedup_ngram_spans — the
+    token-granularity form of Lee et al. 2021): a licence blurb is appended
+    to every 4th document, then any token whose every covering 5-gram window
+    duplicates an earlier (doc, pos) occurrence is removed; the minimum
+    (doc, pos) copy of the blurb survives, and up to k-1 straddle-edge
+    tokens survive everywhere (published edge behaviour). The oracle
+    replicates windows → canonical-first → coverage-union relationally with
+    the gram STRING as the key (Spark keys the same gram by xxhash64 so the
+    wire carries 8 bytes, not text)."""
+    from log_parser_mind_spark.operators.curate import dedup_ngram_spans
+
+    blurb = "this corpus is licensed under the creative commons attribution license"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" " + blurb)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_ngram_spans(docs, k=5).select("doc_id", "text")
+
+
+_ORACLE_NGRAM_SPAN_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' this corpus is licensed under the creative commons attribution license'
+              ELSE text END AS text
+  FROM documents
+), t2 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text,''), '\s+'), x -> x <> '') AS raw,
+         list_transform(list_filter(string_split_regex(coalesce(text,''), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS norm,
+         len(list_filter(string_split_regex(coalesce(text,''), '\s+'), x -> x <> '')) AS n
+  FROM d
+), wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(norm, i, i + 4), ' ') AS gram
+  FROM t2, LATERAL (SELECT unnest(range(1, n - 5 + 2)) AS i) u
+  WHERE n >= 5
+), ranked AS (
+  SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM wins
+), keptpos AS (
+  SELECT DISTINCT doc_id, p
+  FROM ranked, LATERAL (SELECT unnest(range(pos, pos + 5)) AS p) u
+  WHERE rn = 1
+), rebuilt AS (
+  SELECT k.doc_id, string_agg(t2.raw[k.p + 1], ' ' ORDER BY k.p) AS txt
+  FROM keptpos k JOIN t2 USING (doc_id)
+  GROUP BY k.doc_id
+)
+SELECT t2.doc_id,
+       CASE WHEN t2.n < 5 THEN array_to_string(t2.raw, ' ')
+            ELSE coalesce(r.txt, '') END AS text
+FROM t2 LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality scoring (curate.ngram_lm_scores): a
+    Laplace-smoothed bigram LM trained on the ENGLISH slice scores every
+    document's mean token NLL + perplexity — cross-lingual docs surface as
+    high-perplexity outliers and unseen contexts exercise the 1/V fallback.
+    Oracle recomputes counts, vocabulary, and the smoothed score
+    relationally."""
+    from log_parser_mind_spark.operators.curate import ngram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return ngram_lm_scores(docs, ref=ref).select(
+        "doc_id", "n_bigrams", "avg_nll", "ppl"
+    )
+
+
+_ORACLE_LM_QUALITY = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id, lang, toks[i] AS ctx, toks[i + 1] AS nxt
+  FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+  WHERE len(toks) >= 2
+), bc AS (
+  SELECT ctx, nxt, count(*) AS c FROM big WHERE lang = 'en' GROUP BY 1, 2
+), cc AS (
+  SELECT ctx, sum(c) AS cc FROM bc GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(toks) AS t FROM tok WHERE lang = 'en')
+), scored AS (
+  SELECT b.doc_id,
+         -ln((coalesce(bc.c, 0) + 1.0) / (coalesce(cc.cc, 0) + v.v)) AS nll
+  FROM big b
+  LEFT JOIN bc ON b.ctx = bc.ctx AND b.nxt = bc.nxt
+  LEFT JOIN cc ON b.ctx = cc.ctx
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(nll), 6) AS avg_nll,
+         round(exp(avg(nll)), 6) AS ppl
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_nll, a.ppl
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_dsir_selected(spark, sf_dir):
+    """DSIR importance resampling (sample.dsir_select, Xie et al. 2023):
+    hashed-bigram importance weights of every doc toward the ENGLISH slice,
+    then Gumbel top-100 without replacement keyed by the suite's MINSTD draw
+    — the full selection is a pure function of the data, so the oracle
+    recomputes buckets (portable polynomial hash), both count tables, the
+    smoothed log-ratio, the per-doc Σ, and the Gumbel keys verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_ops.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k=100, n=2, buckets=512, salt=7
+    )
+
+
+_ORACLE_DSIR_SELECTED = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), gram AS (
+  SELECT doc_id, lang,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(list_slice(toks, i, i + 1),
+                            t -> (31 * unicode(t) + strlen(t)) % 1000000007)),
+           (acc, u) -> (acc * 131 + u) % 1000000007
+         ) % 512 AS b
+  FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+  WHERE len(toks) >= 2
+), tgt AS (
+  SELECT b, count(*) AS ct FROM gram WHERE lang = 'en' GROUP BY b
+), rawc AS (
+  SELECT b, count(*) AS cr FROM gram GROUP BY b
+), tot AS (
+  SELECT (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt,
+         (SELECT coalesce(sum(cr), 0) FROM rawc) AS tr
+), lr AS (
+  SELECT r.b,
+         ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 512.0))
+         - ln((r.cr + 1.0) / (tot.tr + 512.0)) AS lr
+  FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+), w AS (
+  SELECT g.doc_id, sum(lr.lr) AS lw FROM gram g JOIN lr USING (b) GROUP BY g.doc_id
+), keyed AS (
+  SELECT d.doc_id, coalesce(w.lw, 0.0) AS lw,
+         coalesce(w.lw, 0.0)
+         - ln(-ln(
+             ((((((doc_id % 2147483647) * 48271 + 7) % 2147483647)
+                * 48271 % 2147483647) * 48271 % 2147483647) + 1.0) / 2147483648.0
+           )) AS gk
+  FROM documents d LEFT JOIN w USING (doc_id)
+)
+SELECT doc_id, round(lw, 6) AS log_weight, round(gk, 6) AS gumbel_key
+FROM keyed ORDER BY gk DESC, doc_id LIMIT 100
+"""
+
+
 def q_training_mixture(spark, sf_dir):
     """Training-mix assembly (sample.weighted_mixture): en docs at 60%, the
     rest at 20%, per-source salted so overlapping keys draw independent coin
@@ -2218,6 +2383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_profile": q_length_profile,
         "near_dup_components": q_near_dup_components,
         "top_ngrams": q_top_ngrams,
+        "ngram_span_dedup": q_ngram_span_dedup,
+        "lm_quality": q_lm_quality,
+        "dsir_selected": q_dsir_selected,
         "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
@@ -2331,6 +2499,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_stripped": _ORACLE_BOILERPLATE,
         "repetition_scores": _ORACLE_REPETITION,
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
+        "ngram_span_dedup": _ORACLE_NGRAM_SPAN_DEDUP,
+        "lm_quality": _ORACLE_LM_QUALITY,
+        "dsir_selected": _ORACLE_DSIR_SELECTED,
         "global_shuffle": _ORACLE_GLOBAL_SHUFFLE,
         "corpus_split": _ORACLE_CORPUS_SPLIT,
         "length_profile": _ORACLE_LENGTH_PROFILE,

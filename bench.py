@@ -106,6 +106,22 @@ def main() -> None:
         lambda: _noop(dedup_paragraphs(docs).select("doc_id", "text")),
     )
 
+    # r5: substring-level dedup (Lee-et-al-style duplicated k-gram span
+    # removal) and bigram-LM perplexity scoring. New entries — compare
+    # per-query across rounds; the suite total grew with the suite.
+    from log_parser_mind_spark.operators.curate import dedup_ngram_spans, ngram_lm_scores
+
+    timed(
+        "ngram_span_dedup",
+        lambda: _noop(dedup_ngram_spans(docs, k=8).select("doc_id", "text")),
+    )
+    timed(
+        "lm_quality",
+        lambda: _noop(
+            ngram_lm_scores(docs).select("doc_id", "n_bigrams", "avg_nll", "ppl")
+        ),
+    )
+
     ev = read_table(spark, sf_dir, "events")
     timed(
         "error_rates_events",

@@ -546,3 +546,193 @@ def top_ngrams(
         agg.orderBy(F.col("count").desc(), F.col("n_docs").desc(), F.col("gram"))
         .limit(int(k))
     )
+
+
+def dedup_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup (the token-granularity form of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    any token whose EVERY covering ``k``-token window also occurs at an
+    earlier (doc, pos) somewhere in the corpus is removed; one canonical
+    copy of every repeated span always survives (the minimum (doc, pos)
+    occurrence's windows are canonical by definition, so its tokens are
+    kept). Finer-grained than dedup_paragraphs: it catches verbatim spans
+    repeated MID-paragraph — licence blurbs, quoted chain-letters, templated
+    sentences — that paragraph identity can't see.
+
+    Equivalent keep rule (what the plan actually computes): a token is KEPT
+    iff at least one canonical window covers it. Boundary tokens of a
+    repeated span sit under windows that straddle unique context — those
+    windows are canonical, so up to k-1 edge tokens of a duplicate span
+    survive; only the interior is removed, which is the published
+    behaviour. Docs with fewer than ``k`` tokens have no windows and pass
+    through untouched.
+
+    Output ``text_col`` is the kept tokens joined by single spaces (a
+    token-level operator normalizes whitespace by construction — the same
+    contract as the suite's tokenizer); window identity is case-folded,
+    rebuild uses the original-case tokens.
+
+    Scale shape — the dedup decision never moves token text: windows ride
+    as (id, pos, xxhash64-of-gram) rows, the canonical occurrence is
+    ``groupBy(hash).agg(min(struct(doc, pos)))`` (partial agg absorbs a
+    span repeated a billion times map-side — the same skew-safe shape as
+    dedup_paragraphs, never a window function over the gram key), kept
+    POSITIONS fold back to one int-array row per doc, and document text
+    crosses the wire exactly once in the final rebuild join. Per-row JVM
+    cost of the coverage expansion is O(|canonical starts| * k).
+
+    Reference analog: none — the reference engine has no corpus-dedup path
+    at all; this is part of the training-data suite the brief adds."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    raw_expr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+    )
+    # _norm in its OWN projection: the window builder references it k times
+    # per window via slice — Catalyst does not CSE the lower() chain
+    # (functions/text.py:43-48 trap).
+    base = (
+        docs.select(F.col(id_col).alias("_id"), raw_expr.alias("_raw"))
+        .withColumn("_norm", F.transform(F.col("_raw"), lambda t: F.lower(t)))
+        .withColumn("_n", F.size(F.col("_raw")))
+    )
+    warr = F.when(
+        F.col("_n") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_norm"), i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = base.select("_id", F.posexplode(warr).alias("_pos", "_wh"))
+    canon = wins.groupBy("_wh").agg(
+        F.min(F.struct(F.col("_id").alias("d"), F.col("_pos").alias("p"))).alias("_first")
+    )
+    canon_starts = (
+        wins.join(canon, "_wh")
+        .filter((F.col("_first.d") == F.col("_id")) & (F.col("_first.p") == F.col("_pos")))
+        .groupBy("_id")
+        .agg(F.collect_list("_pos").alias("_cs"))
+    )
+    kept_pos = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col("_cs"), F.array().cast("array<int>")),
+                    lambda s: F.sequence(s, s + (k - 1)),
+                )
+            )
+        )
+    )
+    rebuilt = F.concat_ws(
+        " ", F.transform(kept_pos, lambda p: F.element_at(F.col("_raw"), p + 1))
+    )
+    # n < k → no windows exist; keep every token. A doc that HAS windows but
+    # no canonical ones (its whole stream duplicates an earlier doc) rebuilds
+    # to '' — the row must survive for downstream joins, like the other span
+    # ops.
+    out_text = F.when(F.col("_n") < k, F.concat_ws(" ", F.col("_raw"))).otherwise(rebuilt)
+    return (
+        docs.join(canon_starts, docs[id_col] == canon_starts["_id"], "left")
+        .drop("_id")
+        .withColumn("_raw", raw_expr)
+        .withColumn("_n", F.size(F.col("_raw")))
+        .withColumn(text_col, out_text)
+        .drop("_cs", "_raw", "_n")
+    )
+
+
+def ngram_lm_scores(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style statistical-LM quality scoring: a Laplace-smoothed BIGRAM
+    language model is trained on ``ref`` (default: ``docs`` itself —
+    self-perplexity flags outliers) and every document is scored by its mean
+    token negative log-likelihood and perplexity. Low-perplexity docs read
+    like the reference corpus; high-perplexity docs are boilerplate soup,
+    wrong-language, or garbled — the standard corpus-quality filter signal
+    (CCNet filters CommonCrawl by Wikipedia-LM perplexity exactly this way).
+
+      P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c_ctx(w_{i-1}) + V)
+
+    with c_ctx the context's bigram-start count, V the reference's distinct
+    unigram vocabulary, and unseen contexts scoring 1/V. Docs with < 2
+    tokens carry NULL scores (n_bigrams 0) — they are length-filter
+    territory, not LM territory, and a fake score would poison percentile
+    gates downstream.
+
+    Columns added: n_bigrams, avg_nll (round 6), ppl = exp(avg_nll)
+    (round 6).
+
+    Scale shape: counts are two groupBys over exploded ref bigrams (map-side
+    combine; the shuffle carries (ctx, nxt, count) rows bounded by DISTINCT
+    bigrams); scoring is an equi-join of corpus bigrams against the count
+    tables on the token keys — a plain shuffled hash join that AQE sizes
+    (the count tables are vocabulary-sized, broadcastable for small refs but
+    NOT in general at web scale, so the plan must not assume it); V rides
+    the plan as a broadcast one-row aggregate, the same no-driver-count
+    pattern as strip_boilerplate. Everything is JVM-side expression work.
+
+    Reference analog: none — quality scoring beyond rule ratios is part of
+    the training-data suite the brief adds."""
+    from ..functions.text import ws_tokens_expr
+
+    if ref is None:
+        ref = docs
+
+    def _bigrams(df: DataFrame, with_id: bool) -> DataFrame:
+        ids = [F.col(id_col).alias("_id")] if with_id else []
+        b = (
+            df.select(*ids, ws_tokens_expr(F.col(text_col)).alias("_t"))
+            .withColumn("_n", F.size(F.col("_t")))
+        )
+        pairs = F.when(
+            F.col("_n") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_t"), i).alias("ctx"),
+                    F.element_at(F.col("_t"), i + 1).alias("nxt"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<ctx:string,nxt:string>>"))
+        out_ids = ["_id"] if with_id else []
+        return b.select(*out_ids, F.explode(pairs).alias("_bg")).select(
+            *out_ids, F.col("_bg.ctx").alias("ctx"), F.col("_bg.nxt").alias("nxt")
+        )
+
+    bc = _bigrams(ref, with_id=False).groupBy("ctx", "nxt").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cc = bc.groupBy("ctx").agg(F.sum("_c").alias("_cc"))
+    vocab = ref.select(
+        F.explode(ws_tokens_expr(F.col(text_col))).alias("_w")
+    ).agg(F.countDistinct("_w").alias("_v"))
+    nll = -F.log(
+        (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1))
+        / (F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v"))
+    )
+    scored = (
+        _bigrams(docs, with_id=True)
+        .join(bc, ["ctx", "nxt"], "left")
+        .join(cc, "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
+        )
+    )
+    return (
+        docs.join(scored, docs[id_col] == scored["_id"], "left")
+        .drop("_id")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+    )

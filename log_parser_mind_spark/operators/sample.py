@@ -259,3 +259,129 @@ def split_corpus(
         cond = h < F.lit(bound).cast("long")
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return docs.withColumn("split", expr)
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    salt: int = 0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every ``raw`` document by how much more likely its hashed-n-gram
+    features are under the ``target`` distribution than under the raw
+    distribution, then draw ``k`` docs WITHOUT replacement by the Gumbel
+    top-k trick — the exact reproducible analog of sampling proportionally
+    to importance weights:
+
+        lr(b)  = ln((c_tgt(b)+1)/(T_tgt+B)) - ln((c_raw(b)+1)/(T_raw+B))
+        log_w(doc) = Σ over the doc's n-gram instances of lr(bucket)
+        gumbel_key = log_w - ln(-ln(u)),  u = (minstd(id, salt)+1)/(M+1)
+
+    and the selection is the top ``k`` by (gumbel_key desc, id) — u is the
+    suite's 3-round MINSTD draw, so the "randomness" is a pure function of
+    the id: identical at any parallelism, partitioning, or engine, the same
+    auditability contract as every sampler in this module. Docs with < n
+    tokens have no features: log_w = 0 (empty product), so pure Gumbel noise
+    decides them — length-gate upstream if that is not wanted.
+
+    Feature buckets use the suite's PORTABLE polynomial token hash
+    (functions/text.fingerprint_expr's fold) mod ``buckets``, so a SQL
+    oracle can recompute the buckets verbatim — xxhash64 would be faster but
+    unverifiable cross-engine, and the bucket count (not the hash) bounds
+    every table here anyway.
+
+    Returns (id_col, log_weight, gumbel_key) rounded to 6dp, ``k`` rows;
+    join back to ``raw`` for the surviving documents.
+
+    Scale shape: the two count tables are bounded by ``buckets`` after
+    map-side combine (a few thousand rows — the log-ratio table BROADCASTS
+    onto the corpus gram stream, no shuffled join against data-sized
+    tables); totals ride as broadcast one-row aggregates; per-doc Σ is one
+    groupBy(id); the selection is a TakeOrdered(k), never a global sort.
+
+    Reference analog: none — part of the training-data suite the brief
+    adds."""
+    from ..functions.text import ws_tokens_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+
+    P = 1_000_000_007
+
+    def _grams(df: DataFrame, with_id: bool) -> DataFrame:
+        ids = [F.col(id_col).alias("_id")] if with_id else []
+        b = (
+            df.select(*ids, ws_tokens_expr(F.col(text_col)).alias("_t"))
+            .withColumn("_n", F.size(F.col("_t")))
+        )
+        unit = lambda t: (F.lit(31) * F.ascii(t) + F.octet_length(t)) % P  # noqa: E731
+        bucket_of = lambda i: F.pmod(  # noqa: E731
+            F.aggregate(
+                F.slice(F.col("_t"), i, n),
+                F.lit(0).cast("long"),
+                lambda acc, t: (acc * 131 + unit(t)) % P,
+            ),
+            F.lit(int(buckets)).cast("long"),
+        )
+        barr = F.when(
+            F.col("_n") >= n,
+            F.transform(F.sequence(F.lit(1), F.col("_n") - (n - 1)), bucket_of),
+        ).otherwise(F.array().cast("array<bigint>"))
+        out_ids = ["_id"] if with_id else []
+        return b.select(*out_ids, F.explode(barr).alias("b"))
+
+    tgt = _grams(target, with_id=False).groupBy("b").agg(F.count(F.lit(1)).alias("_ct"))
+    rawg = _grams(raw, with_id=True)
+    rawc = rawg.groupBy("b").agg(F.count(F.lit(1)).alias("_cr"))
+    tot = (
+        rawc.agg(F.sum("_cr").alias("_tr"))
+        .crossJoin(F.broadcast(tgt.agg(F.sum("_ct").alias("_tt"))))
+        .select(
+            F.coalesce(F.col("_tr"), F.lit(0)).alias("_tr"),
+            F.coalesce(F.col("_tt"), F.lit(0)).alias("_tt"),
+        )
+    )
+    B = F.lit(int(buckets)).cast("double")
+    lr_table = (
+        rawc.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)) / (F.col("_tt") + B))
+                - F.log((F.col("_cr") + F.lit(1)) / (F.col("_tr") + B))
+            ).alias("_lr"),
+        )
+    )
+    weights = (
+        rawg.join(F.broadcast(lr_table), "b")
+        .groupBy("_id")
+        .agg(F.sum("_lr").alias("_lw"))
+    )
+    m1 = float(MINSTD_M + 1)
+    u = (_minstd(id_col, salt) + F.lit(1)).cast("double") / F.lit(m1)
+    keyed = (
+        raw.select(F.col(id_col))
+        .join(weights, F.col(id_col) == F.col("_id"), "left")
+        .drop("_id")
+        .withColumn("_lw", F.coalesce(F.col("_lw"), F.lit(0.0)))
+        .withColumn("_gk", F.col("_lw") - F.log(-F.log(u)))
+    )
+    return (
+        keyed.orderBy(F.col("_gk").desc(), F.col(id_col))
+        .limit(int(k))
+        .select(
+            id_col,
+            F.round("_lw", 6).alias("log_weight"),
+            F.round("_gk", 6).alias("gumbel_key"),
+        )
+    )

@@ -173,3 +173,100 @@ def test_pack_corpus_rejects_nonpositive_budget(spark):
         sm.pack_corpus(docs, budget_tokens=0)
     with pytest.raises(ValueError, match="budget_tokens"):
         sm.pack_corpus(docs, budget_tokens=-7)
+
+
+def test_dsir_select_matches_python_mirror(spark):
+    """DSIR selection is a pure function of the data: a Python mirror of the
+    bucket hash, Laplace log-ratio, per-doc sum, and MINSTD-Gumbel keys must
+    reproduce Spark's weights/keys exactly (6dp) on a tiny corpus, and the
+    target-like doc must outweigh the disjoint-vocab doc."""
+    import math
+
+    from log_parser_mind_spark.operators.sample import MINSTD_A, MINSTD_M, dsir_select
+
+    P, B, SALT, N = 1_000_000_007, 64, 3, 2
+    raw_rows = [
+        (0, "alpha beta alpha beta"),
+        (1, "zzz qqq rrr sss"),
+        (2, "alpha beta gamma"),
+        (3, "x"),          # < n tokens → log_weight 0
+        (4, None),
+    ]
+    tgt_rows = [(10, "alpha beta alpha beta alpha")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dsir_select(raw, tgt, k=5, n=N, buckets=B, salt=SALT).collect()
+    }
+
+    def toks(t):
+        return [x for x in (t or "").lower().split() if x]
+
+    def bucket(gram):
+        acc = 0
+        for t in gram:
+            acc = (acc * 131 + (31 * ord(t[0]) + len(t.encode())) % P) % P
+        return acc % B
+
+    def grams(t):
+        tt = toks(t)
+        return [bucket(tt[i : i + N]) for i in range(len(tt) - N + 1)]
+
+    ct, cr = {}, {}
+    for _, t in tgt_rows:
+        for b in grams(t):
+            ct[b] = ct.get(b, 0) + 1
+    for _, t in raw_rows:
+        for b in grams(t):
+            cr[b] = cr.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def lw(t):
+        return sum(
+            math.log((ct.get(b, 0) + 1) / (tt + B)) - math.log((cr[b] + 1) / (tr + B))
+            for b in grams(t)
+        )
+
+    def gumbel(doc_id):
+        h = doc_id % MINSTD_M
+        h = (h * MINSTD_A + SALT) % MINSTD_M
+        h = (h * MINSTD_A) % MINSTD_M
+        h = (h * MINSTD_A) % MINSTD_M
+        u = (h + 1) / (MINSTD_M + 1)
+        return -math.log(-math.log(u))
+
+    assert set(got) == {0, 1, 2, 3, 4}  # k covers the whole corpus here
+    for doc_id, text in raw_rows:
+        assert got[doc_id].log_weight == pytest.approx(lw(text), abs=2e-6)
+        assert got[doc_id].gumbel_key == pytest.approx(
+            lw(text) + gumbel(doc_id), abs=2e-6
+        )
+    # Target-like doc beats the disjoint-vocab doc on weight alone.
+    assert got[0].log_weight > got[1].log_weight
+    assert got[3].log_weight == pytest.approx(0.0)
+    assert got[4].log_weight == pytest.approx(0.0)
+
+
+def test_dsir_select_validation_and_topk(spark):
+    """Bad params raise before any job; k < corpus returns exactly k rows
+    ordered by (gumbel_key desc, id); repartitioning the input changes
+    nothing (engine-independence contract)."""
+    from log_parser_mind_spark.operators.sample import dsir_select
+
+    raw = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    tgt = raw.filter("doc_id % 2 = 0")
+    for kw in ({"k": 0}, {"n": 0}, {"buckets": 0}):
+        with pytest.raises(ValueError):
+            dsir_select(raw, tgt, **{"k": 5, "n": 2, "buckets": 8, **kw})
+    sel = dsir_select(raw, tgt, k=10, buckets=32, salt=1).collect()
+    assert len(sel) == 10
+    keys = [r.gumbel_key for r in sel]
+    assert keys == sorted(keys, reverse=True)
+    resel = dsir_select(raw.repartition(13), tgt.repartition(3), k=10, buckets=32, salt=1).collect()
+    assert [(r.doc_id, r.log_weight, r.gumbel_key) for r in sel] == [
+        (r.doc_id, r.log_weight, r.gumbel_key) for r in resel
+    ]

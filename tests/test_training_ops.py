@@ -1080,3 +1080,99 @@ def test_decode_ppm_rejects_header_and_trailing_garbage():
         multimodal.decode_ppm(b"P6\n2 2\n255X" + raster)
     with _pytest.raises(ValueError, match="trailing"):
         multimodal.decode_ppm(b"P6\n2 2\n255\n" + raster + b"junk")
+
+
+def test_dedup_ngram_spans_hand_computed(spark):
+    """Substring-level dedup (k=3): repeated token spans keep their minimum
+    (doc, pos) copy; only the interior of a duplicate span is removed (edge
+    tokens sit under canonical straddling windows); case-folded identity with
+    original-case rebuild; <k-token docs pass through; a whole-doc duplicate
+    survives as ''."""
+    from log_parser_mind_spark.operators.curate import dedup_ngram_spans
+
+    rows = [
+        (0, "a b c d e f"),            # canonical copy — untouched
+        (1, "x y a b c d e f z w"),    # interior c,d removed; edges survive
+        (2, "a b c d e f"),            # exact whole-doc dup → ''
+        (3, "p q"),                    # n < k → untouched
+        (4, None),                     # NULL → ''
+        (5, "Q A B C D E F R"),        # case-folded match, original case kept
+        (6, "m  n\tq"),                # whitespace normalized by rebuild
+        (7, "t t t t t t"),            # in-doc repetition collapses interior
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup_ngram_spans(docs, k=3).collect()}
+    assert got == {
+        0: "a b c d e f",
+        1: "x y a b e f z w",
+        2: "",
+        3: "p q",
+        4: "",
+        5: "Q A B E F R",
+        6: "m n q",
+        7: "t t t",
+    }
+    with pytest.raises(ValueError):
+        dedup_ngram_spans(docs, k=1)
+
+
+def test_dedup_ngram_spans_skew_safe_plan(spark, sf_dir):
+    """Same skew contract as dedup_paragraphs: the canonical pass is a hash
+    aggregate with map-side combine (a billion-fold repeated span is absorbed
+    before the exchange), never a Window over the gram key, and no Python
+    stage anywhere."""
+    import os
+
+    from log_parser_mind_spark.operators.curate import dedup_ngram_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = dedup_ngram_spans(docs, k=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ngram_lm_scores_hand_computed(spark):
+    """Self-trained bigram LM with Laplace smoothing: hand-computed NLL/ppl;
+    <2-token docs carry NULL scores with n_bigrams 0; unseen contexts under a
+    foreign ref score 1/V."""
+    import math
+
+    from log_parser_mind_spark.operators.curate import ngram_lm_scores
+
+    rows = [(0, "a b a b"), (1, "a b"), (2, "z"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_lm_scores(docs).collect()}
+    # counts: (a,b)=3 (b,a)=1; ctx a=3 b=1; V=3
+    nll_ab = -math.log(4 / 6)
+    nll_ba = -math.log(2 / 4)
+    avg0 = (2 * nll_ab + nll_ba) / 3
+    assert got[0].n_bigrams == 3
+    assert got[0].avg_nll == pytest.approx(avg0, abs=1e-6)
+    assert got[0].ppl == pytest.approx(math.exp(avg0), abs=1e-6)
+    assert got[1].n_bigrams == 1
+    assert got[1].avg_nll == pytest.approx(nll_ab, abs=1e-6)
+    assert got[2].n_bigrams == 0 and got[2].avg_nll is None and got[2].ppl is None
+    assert got[3].n_bigrams == 0 and got[3].avg_nll is None
+
+    ref = docs.filter("doc_id = 0")  # vocab {a,b}, V=2; ctx z unseen
+    foreign = spark.createDataFrame([(9, "z b")], "doc_id long, text string")
+    scored = {r.doc_id: r for r in ngram_lm_scores(foreign, ref=ref).collect()}
+    assert scored[9].avg_nll == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_ngram_lm_scores_all_jvm_plan(spark, sf_dir):
+    """LM scoring is pure expression work: no Python stages, no Window; the
+    vocabulary scalar rides as a broadcast one-row aggregate (no driver-side
+    count during composition)."""
+    import os
+
+    from log_parser_mind_spark.operators.curate import ngram_lm_scores
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = ngram_lm_scores(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab scalar
