@@ -166,14 +166,28 @@ def strip_code_fences_expr(text: Column) -> Column:
     return _trim_ws(out)
 
 
-def fingerprint_expr(text: Column, mod: int = 1_000_000_007) -> Column:
-    """Rolling polynomial hash over tokens: per-token unit =
-    31·unicode(first char) + byte length; rolled acc·131 + unit (mod p).
-    Stays within BIGINT in engines that error on overflow (DuckDB)."""
-    toks = lower_tokens(text)
-    unit = lambda t: (F.lit(31) * F.ascii(t) + F.octet_length(t)) % mod  # noqa: E731
+def poly_unit_expr(t: Column, mod: int = 1_000_000_007) -> Column:
+    """Per-token unit of the suite's PORTABLE polynomial hash:
+    31·unicode(first char) + byte length (mod p). ONE definition shared by
+    fingerprint_expr and sample.dsir_select's feature buckets — a constant
+    change here changes both together, so the SQL oracles that recompute
+    the fold verbatim can never silently desynchronize from one caller."""
+    return (F.lit(31) * F.ascii(t) + F.octet_length(t)) % mod
+
+
+def poly_fold_expr(tokens: Column, mod: int = 1_000_000_007) -> Column:
+    """Rolling fold of poly_unit_expr over a token array: acc·131 + unit
+    (mod p), seed 0. Every intermediate stays within BIGINT, so the same
+    integer expression runs verbatim in engines that error on overflow
+    (DuckDB list_reduce replicates it in the oracles)."""
     return F.aggregate(
-        toks,
+        tokens,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * 131 + unit(t)) % mod,
+        lambda acc, t: (acc * 131 + poly_unit_expr(t, mod)) % mod,
     )
+
+
+def fingerprint_expr(text: Column, mod: int = 1_000_000_007) -> Column:
+    """Rolling polynomial hash over the document's tokens — the shared
+    poly_fold_expr applied to the whole token stream."""
+    return poly_fold_expr(lower_tokens(text), mod)

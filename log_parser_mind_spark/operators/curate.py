@@ -570,7 +570,9 @@ def dedup_ngram_spans(
     windows are canonical, so up to k-1 edge tokens of a duplicate span
     survive; only the interior is removed, which is the published
     behaviour. Docs with fewer than ``k`` tokens have no windows and pass
-    through untouched.
+    through untouched, as do NULL-``id_col`` rows (a NULL id cannot hold a
+    canonical claim, so it neither dedups nor is deduped — the non-null-key
+    contract shared with the MINSTD sampler family).
 
     Output ``text_col`` is the kept tokens joined by single spaces (a
     token-level operator normalizes whitespace by construction — the same
@@ -596,19 +598,22 @@ def dedup_ngram_spans(
     # _norm in its OWN projection: the window builder references it k times
     # per window via slice — Catalyst does not CSE the lower() chain
     # (functions/text.py:43-48 trap).
-    base = (
-        docs.select(F.col(id_col).alias("_id"), raw_expr.alias("_raw"))
-        .withColumn("_norm", F.transform(F.col("_raw"), lambda t: F.lower(t)))
-        .withColumn("_n", F.size(F.col("_raw")))
+    base = docs.select(F.col(id_col).alias("_id"), raw_expr.alias("_raw")).withColumn(
+        "_norm", F.transform(F.col("_raw"), lambda t: F.lower(t))
     )
-    warr = F.when(
-        F.col("_n") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.col("_n") - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_norm"), i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    wins = base.select("_id", F.posexplode(warr).alias("_pos", "_wh"))
+    # Window hashes = xxhash64 over the module-shared gram builder (ONE gram
+    # definition with repetition_scores/top_ngrams — the <k guard and slice
+    # semantics can never drift between them). NULL-id rows are excluded from
+    # the window table entirely: a NULL id would win every min(struct) it
+    # touches (nulls-first struct ordering) and then match no canonical
+    # filter, deleting those spans from EVERY doc with no surviving copy.
+    # They pass through untouched instead (see out_text).
+    warr = F.transform(
+        tx.word_ngrams_expr(F.col("_norm"), k), lambda g: F.xxhash64(g)
+    )
+    wins = base.filter(F.col("_id").isNotNull()).select(
+        "_id", F.posexplode(warr).alias("_pos", "_wh")
+    )
     canon = wins.groupBy("_wh").agg(
         F.min(F.struct(F.col("_id").alias("d"), F.col("_pos").alias("p"))).alias("_first")
     )
@@ -631,11 +636,14 @@ def dedup_ngram_spans(
     rebuilt = F.concat_ws(
         " ", F.transform(kept_pos, lambda p: F.element_at(F.col("_raw"), p + 1))
     )
-    # n < k → no windows exist; keep every token. A doc that HAS windows but
-    # no canonical ones (its whole stream duplicates an earlier doc) rebuilds
-    # to '' — the row must survive for downstream joins, like the other span
-    # ops.
-    out_text = F.when(F.col("_n") < k, F.concat_ws(" ", F.col("_raw"))).otherwise(rebuilt)
+    # n < k → no windows exist; keep every token. NULL-id rows are outside
+    # the dedup entirely (see wins) — pass them through too. A doc that HAS
+    # windows but no canonical ones (its whole stream duplicates an earlier
+    # doc) rebuilds to '' — the row must survive for downstream joins, like
+    # the other span ops.
+    out_text = F.when(
+        (F.col("_n") < k) | F.col(id_col).isNull(), F.concat_ws(" ", F.col("_raw"))
+    ).otherwise(rebuilt)
     return (
         docs.join(canon_starts, docs[id_col] == canon_starts["_id"], "left")
         .drop("_id")
@@ -666,7 +674,9 @@ def ngram_lm_scores(
     unigram vocabulary, and unseen contexts scoring 1/V. Docs with < 2
     tokens carry NULL scores (n_bigrams 0) — they are length-filter
     territory, not LM territory, and a fake score would poison percentile
-    gates downstream.
+    gates downstream. A token-free ``ref`` likewise yields NULL scores for
+    every doc (no model) instead of the IEEE-division artifact ppl = 0.0,
+    which would silently rank everything as perfect quality.
 
     Columns added: n_bigrams, avg_nll (round 6), ppl = exp(avg_nll)
     (round 6).
@@ -715,9 +725,16 @@ def ngram_lm_scores(
     vocab = ref.select(
         F.explode(ws_tokens_expr(F.col(text_col))).alias("_w")
     ).agg(F.countDistinct("_w").alias("_v"))
-    nll = -F.log(
-        (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1))
-        / (F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v"))
+    # _v == 0 (token-free ref) would make the smoothed probability 1/0 →
+    # IEEE Infinity → nll = -Inf → ppl 0.0: every doc silently scored
+    # PERFECT, the worst possible failure for a quality gate. Score NULL
+    # instead — visibly "no model", same contract as <2-token docs.
+    nll = F.when(
+        F.col("_v") > 0,
+        -F.log(
+            (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1))
+            / (F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v"))
+        ),
     )
     scored = (
         _bigrams(docs, with_id=True)

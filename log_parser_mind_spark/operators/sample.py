@@ -306,7 +306,7 @@ def dsir_select(
 
     Reference analog: none — part of the training-data suite the brief
     adds."""
-    from ..functions.text import ws_tokens_expr
+    from ..functions.text import poly_fold_expr, ws_tokens_expr
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -315,21 +315,14 @@ def dsir_select(
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
 
-    P = 1_000_000_007
-
     def _grams(df: DataFrame, with_id: bool) -> DataFrame:
         ids = [F.col(id_col).alias("_id")] if with_id else []
         b = (
             df.select(*ids, ws_tokens_expr(F.col(text_col)).alias("_t"))
             .withColumn("_n", F.size(F.col("_t")))
         )
-        unit = lambda t: (F.lit(31) * F.ascii(t) + F.octet_length(t)) % P  # noqa: E731
         bucket_of = lambda i: F.pmod(  # noqa: E731
-            F.aggregate(
-                F.slice(F.col("_t"), i, n),
-                F.lit(0).cast("long"),
-                lambda acc, t: (acc * 131 + unit(t)) % P,
-            ),
+            poly_fold_expr(F.slice(F.col("_t"), i, n)),
             F.lit(int(buckets)).cast("long"),
         )
         barr = F.when(

@@ -1176,3 +1176,34 @@ def test_ngram_lm_scores_all_jvm_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab scalar
+
+
+def test_dedup_ngram_spans_null_id_rows_are_inert(spark):
+    """A NULL-id row must neither claim canonical status (which would delete
+    its spans from every doc with no surviving copy) nor be deduped itself —
+    it passes through untouched, and the non-null copies still dedup among
+    themselves."""
+    from log_parser_mind_spark.operators.curate import dedup_ngram_spans
+
+    rows = [
+        (None, "a b c d e f"),
+        (1, "a b c d e f"),   # canonical among NON-NULL rows
+        (2, "a b c d e f"),   # dup of doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup_ngram_spans(docs, k=3).collect()}
+    assert got == {None: "a b c d e f", 1: "a b c d e f", 2: ""}
+
+
+def test_ngram_lm_scores_empty_ref_yields_null_not_perfect(spark):
+    """A token-free reference must produce NULL scores (no model), never the
+    IEEE-division artifact ppl = 0.0 that would rank every doc as perfect
+    quality."""
+    from log_parser_mind_spark.operators.curate import ngram_lm_scores
+
+    docs = spark.createDataFrame([(0, "a b c"), (1, "x y")], "doc_id long, text string")
+    empty_ref = docs.filter("doc_id < 0")
+    got = {r.doc_id: r for r in ngram_lm_scores(docs, ref=empty_ref).collect()}
+    assert got[0].n_bigrams == 2  # bigrams still counted
+    for r in got.values():
+        assert r.avg_nll is None and r.ppl is None

@@ -91,9 +91,20 @@ def main() -> int:
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
-            print("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]")
+            print("usage: check_oracle.py [--json OUT.json] [--note TEXT] [sf_dir] [query ...]")
             return 2
         json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    # Provenance note embedded in the artifact — a regenerated sweep must not
+    # silently drop HOW it was run (golden swaps, --py-oracles) or the
+    # artifact stops being reproducible from its own contents.
+    note = None
+    if "--note" in argv:
+        i = argv.index("--note")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [--json OUT.json] [--note TEXT] [sf_dir] [query ...]")
+            return 2
+        note = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -155,9 +166,13 @@ def main() -> int:
     if json_out:
         import json
 
+        payload = {"sf_dir": sf_dir, "n_queries": len(results),
+                   "n_failures": len(failures), "py_oracles": py_oracles,
+                   "results": results}
+        if note:
+            payload["note"] = note
         with open(json_out, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
-                       "n_failures": len(failures), "results": results}, fh, indent=1)
+            json.dump(payload, fh, indent=1)
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     for name, msg in failures:
         print(f"  FAIL {name}: {msg[:300]}")
