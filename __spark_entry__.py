@@ -1175,6 +1175,26 @@ FROM sid GROUP BY user_id, session_idx
 """
 
 
+def q_session_window_rollup(spark, sf_dir):
+    """Gap-timeout sessionization via Spark's NATIVE session_window
+    aggregation (sessionize.session_window_sessions) — the second,
+    independent implementation of the user_sessions semantics (the
+    streaming-liftable path: session_window + watermark runs with
+    state-store window merging). No portable SQL expresses session_window
+    directly, so the oracle is the SAME lag+cumsum SQL as user_sessions —
+    an independent derivation that also pins the two implementations to
+    each other (equality additionally asserted in tests/test_sessionize.py,
+    including the exactly-gap-sized boundary)."""
+    from log_parser_mind_spark.operators.sessionize import session_window_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_window_sessions(ev, gap_minutes=30, conv_col="user_id", ts_col="ts")
+    return s.select(
+        "user_id", "session_idx", "n_turns", "start_ts", "end_ts",
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Training-mix sampling — deterministic per-row MINSTD predicate
     (operators/sample.stratified_sample): keep 100% of de, 50% of en, 25%
@@ -2372,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_stats_events": q_global_stats_events,
         "hourly_rollup_events": q_hourly_rollup_events,
         "user_sessions": q_user_sessions,
+        "session_window_rollup": q_session_window_rollup,
         "stratified_sample": q_stratified_sample,
         "asof_enrich": q_asof_enrich,
         "decontaminated_corpus": q_decontaminated_corpus,
@@ -2493,6 +2514,7 @@ def oracle_sql() -> dict[str, str]:
         "global_stats_events": _ORACLE_GLOBAL_STATS_EVENTS,
         "hourly_rollup_events": _ORACLE_HOURLY_ROLLUP_EVENTS,
         "user_sessions": _ORACLE_USER_SESSIONS,
+        "session_window_rollup": _ORACLE_USER_SESSIONS,
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "asof_enrich": _ORACLE_ASOF_ENRICH,
         "decontaminated_corpus": _ORACLE_DECONTAMINATED,

@@ -197,3 +197,67 @@ def sessionize_stream(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def session_window_sessions(
+    transcripts: DataFrame,
+    gap_minutes: float = 30.0,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native ``F.session_window`` form of ``conversation_sessions`` —
+    Spark's built-in session-merging aggregation (the same operator
+    Structured Streaming uses for watermarked session windows) instead of
+    the lag+cumsum SQL idiom. Boundary semantics verified identical: an
+    exactly-gap-sized pause still chains (session_window merges windows
+    that touch — probed empirically, not assumed), a strictly larger pause
+    breaks. Output equals conversation_sessions row-for-row (asserted in
+    tests, including the == gap boundary and the sf corpus).
+
+    Pick by lifting plan: THIS form when the same pipeline will run as a
+    stream (session_window + watermark is the streaming-native path with
+    state-store window merging); the lag+cumsum form when a SQL oracle
+    must replicate the plan (no portable SQL expresses session_window
+    directly — its contract oracle reuses the lag+cumsum SQL as an
+    INDEPENDENT derivation of the same semantics).
+
+    start/end/duration are of the OBSERVED events: session_window.end pads
+    the last event by the gap, so end_ts is taken from max(ts), not the
+    window. session_idx = rank of the session's start within the
+    conversation, same numbering as conversation_sessions.
+
+    The gap is quantized to MICROSECONDS — the precision of the timestamp
+    data itself, so quantization can never move a boundary relative to the
+    lag+cumsum double-seconds comparison. A gap with a sub-microsecond
+    remainder would silently diverge from conversation_sessions, so it is
+    rejected instead."""
+    gap_us_f = float(gap_minutes) * 60_000_000.0
+    gap_us = int(round(gap_us_f))
+    if abs(gap_us_f - gap_us) > 1e-6 or gap_us <= 0:
+        raise ValueError(
+            f"gap_minutes={gap_minutes!r} is not a positive whole number of "
+            "microseconds; session_window_sessions would diverge from "
+            "conversation_sessions at sub-microsecond gap remainders"
+        )
+    sessions = transcripts.groupBy(
+        F.col(conv_col), F.session_window(F.col(ts_col), f"{gap_us} microseconds")
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+    )
+    w = Window.partitionBy(conv_col).orderBy(F.col("session_window.start"))
+    return (
+        sessions.withColumn("session_idx", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            conv_col,
+            "session_idx",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            "start_ts",
+            "end_ts",
+            (
+                F.col("end_ts").cast("timestamp").cast("double")
+                - F.col("start_ts").cast("timestamp").cast("double")
+            ).alias("duration_sec"),
+        )
+    )

@@ -179,3 +179,153 @@ def test_running_sum_uses_rows_frame(spark, gapped):
         if r.conv_id == "c2"
     }
     assert got == {("c2", 0): 2}
+
+
+def test_session_window_sessions_equals_lag_cumsum(spark):
+    """The native F.session_window implementation must equal the lag+cumsum
+    form row-for-row — including the exactly-gap-sized pause (chains in
+    BOTH: session_window merges touching windows, conversation_sessions
+    breaks only on strictly-greater) — on a hand-built boundary frame and
+    on the events corpus."""
+    import datetime as dt
+
+    from log_parser_mind_spark.operators.sessionize import (
+        conversation_sessions,
+        session_window_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", 0, t0),
+        ("a", 1, t0 + dt.timedelta(minutes=30)),      # == gap → chains
+        ("a", 2, t0 + dt.timedelta(minutes=60, seconds=1)),  # > gap → breaks
+        ("b", 0, t0),
+        ("b", 1, t0),                                  # tied timestamps
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = sorted(map(tuple, session_window_sessions(df, 30).collect()))
+    want = sorted(map(tuple, conversation_sessions(df, 30).collect()))
+    assert got == want
+    assert [(r[0], r[1], r[2]) for r in got] == [
+        ("a", 0, 2), ("a", 1, 1), ("b", 0, 2)
+    ]
+
+
+def test_session_window_sessions_on_corpus(spark, sf_dir):
+    """Corpus-level equality with conversation_sessions (946 sessions at
+    sf0.001), and the plan stays narrow: session aggregation + session_idx
+    rank cost at most two conv-keyed exchanges, no Python stages."""
+    import os
+
+    from log_parser_mind_spark.operators.sessionize import (
+        conversation_sessions,
+        session_window_sessions,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    a = session_window_sessions(ev, 30, conv_col="user_id", ts_col="ts")
+    b = conversation_sessions(
+        ev, 30, conv_col="user_id", ts_col="ts", tiebreak_col="event_id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = a._sc._jvm.PythonSQLUtils.explainString(a._jdf.queryExecution(), "formatted")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_session_window_sessions_lifts_to_streaming(spark, tmp_path):
+    """The docstring's 'streaming-liftable' claim, proven: the SAME
+    session_window aggregation runs as an append-mode stream with a
+    watermark — closed sessions emit once the watermark passes their gap,
+    state survives a query restart (the second availableNow run closes the
+    first run's open session), and the emitted sessions equal the batch
+    conversation_sessions result on the closed data."""
+    import datetime as dt
+
+    from log_parser_mind_spark.operators.sessionize import conversation_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    in_path, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    def run():
+        stream = spark.readStream.schema("user_id string, ts timestamp").parquet(in_path)
+        agg = (
+            stream.withWatermark("ts", "1 second")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.min("ts").alias("start_ts"),
+                F.max("ts").alias("end_ts"),
+            )
+        )
+        q = (
+            agg.select("user_id", "n_turns", "start_ts", "end_ts")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "streaming query did not finish in time"
+        return sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+
+    batch1 = [
+        ("a", t0),
+        ("a", t0 + dt.timedelta(minutes=5)),
+        ("a", t0 + dt.timedelta(hours=1)),  # opens a's 2nd session
+        ("b", t0),
+    ]
+    ev(batch1).repartition(1).write.mode("append").parquet(in_path)
+    first = run()
+    # watermark reached t0+1h−1s: a's first session and b's session closed;
+    # a's 1h session is still OPEN (its gap has not elapsed) — not emitted.
+    assert [(r[0], r[1]) for r in first] == [("a", 2), ("b", 1)]
+
+    # Restart with a watermark-advancing sentinel: the recovered state
+    # closes a's 2nd session.
+    ev([("z", t0 + dt.timedelta(hours=6))]).repartition(1).write.mode("append").parquet(in_path)
+    second = run()
+    closed = [r for r in second if r[0] != "z"]
+    batch = conversation_sessions(
+        ev(batch1), 30, conv_col="user_id", ts_col="ts", tiebreak_col="ts"
+    )
+    want = sorted(
+        (r.user_id, r.n_turns, r.start_ts, r.end_ts) for r in batch.collect()
+    )
+    assert closed == want
+
+
+def test_session_window_gap_quantization_guard(spark):
+    """Fractional gaps: whole-microsecond gaps (the data's own timestamp
+    precision) run and agree with the lag+cumsum form; a sub-microsecond
+    remainder is REJECTED rather than silently diverging."""
+    import datetime as dt
+
+    from log_parser_mind_spark.operators.sessionize import (
+        conversation_sessions,
+        session_window_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", 0, t0),
+            ("a", 1, t0 + dt.timedelta(seconds=6)),        # == 0.1-min gap → chains
+            ("a", 2, t0 + dt.timedelta(seconds=12, microseconds=1)),  # > gap → breaks
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    got = sorted(map(tuple, session_window_sessions(df, 0.1).collect()))
+    want = sorted(map(tuple, conversation_sessions(df, 0.1).collect()))
+    assert got == want
+    assert [r[2] for r in got] == [2, 1]
+
+    with pytest.raises(ValueError, match="microsecond"):
+        session_window_sessions(df, 1.5 / 60_000_000)  # 1.5 µs → 0.5 µs remainder
+    with pytest.raises(ValueError, match="microsecond"):
+        session_window_sessions(df, 0)
