@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from log_parser_mind_spark.config import PipelineConfig
-from log_parser_mind_spark.functions import masking, redaction, text as tx
+from log_parser_mind_spark.functions import bpe as bpe_fn, masking, redaction, text as tx
 from log_parser_mind_spark.operators import aggregate as agg
 from log_parser_mind_spark.operators import asof as asof_ops, dedup, embed as embed_ops, sample as sample_ops, similarity
 from log_parser_mind_spark.operators.parse import parse_pipeline
@@ -915,6 +915,57 @@ def q_ivf_ann_topk_scaled(spark, sf_dir):
     return res.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Learned subword vocabulary — distributed BPE training over the
+    documents corpus (functions/bpe.py train_bpe: exact JVM word histogram
+    = the one corpus-sized pass, driver merge loop over the vocabulary-
+    bounded type table). INDEPENDENT-oracle golden: tools/make_goldens.py
+    derives the same 200 merges with the NAIVE recount-per-iteration
+    trainer in oracle.py (different algorithm, same spec) and asserts
+    double-entry equality before writing. Columns aliased away from SQL
+    keywords (left/right/rank) for the DuckDB oracle read."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_fn.train_bpe(docs, num_merges=200)
+    return bpe_fn.merges_table(spark, merges).select(
+        F.col("rank").alias("merge_rank"),
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "token",
+    )
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """Token-budget accounting under the LEARNED vocabulary: encode the
+    corpus with its own 200-merge BPE (functions/bpe.py with_bpe_tokens —
+    JVM pre-tokenize, one Arrow-batched merge-application stage, no
+    shuffle) and aggregate per language. avg is a single double division
+    of two exact longs — bit-identical in the mirror, so no rounding is
+    needed. Same independent-oracle golden class as bpe_merges (mirror
+    encodes every doc from scratch)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_fn.train_bpe(docs, num_merges=200)
+    enc = bpe_fn.with_bpe_tokens(docs, merges)
+    base = enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("bpe_tokens")).cast("long").alias("total_bpe_tokens"),
+    )
+    dis = (
+        enc.select("lang", F.explode("bpe_tokens").alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("distinct_bpe_tokens"))
+    )
+    return (
+        base.join(dis, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "total_bpe_tokens",
+            F.coalesce("distinct_bpe_tokens", F.lit(0)).cast("long").alias("distinct_bpe_tokens"),
+            (F.col("total_bpe_tokens") / F.col("n_docs")).alias("avg_bpe_tokens_per_doc"),
+        )
     )
 
 
@@ -2377,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_ann_topk_scaled": q_ivf_ann_topk_scaled,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_stats": q_bpe_token_stats,
         "embed_ann_topk": q_embed_ann_topk,
         "curated_corpus": q_curated_corpus,
         "search_similar": q_search_similar,
@@ -2502,6 +2555,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embed_ann_topk": _golden_sql("embed_ann_topk", "query_id, neighbor_id, cosine, rank"),
         "ivf_ann_topk": _golden_sql("ivf_ann_topk", "query_id, neighbor_id, cosine, rank"),
+        "bpe_merges": _golden_sql("bpe_merges", "merge_rank, lhs, rhs, token"),
+        "bpe_token_stats": _golden_sql(
+            "bpe_token_stats",
+            "lang, n_docs, total_bpe_tokens, distinct_bpe_tokens, avg_bpe_tokens_per_doc",
+        ),
         "ivf_ann_topk_scaled": _golden_sql(
             "ivf_ann_topk_scaled", "query_id, neighbor_id, cosine, rank"
         ),

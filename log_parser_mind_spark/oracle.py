@@ -184,3 +184,84 @@ def zscore_alerts(series: pd.DataFrame, now: pd.Timestamp, threshold: float = 3.
         if z > threshold:
             out.append((key, float(val), float(z)))
     return pd.DataFrame(out, columns=["key", "value", "zscore"])
+
+
+# ---------------------------------------------------------------------------
+# BPE mirror (functions/bpe.py) — independent derivation for the golden:
+# pandas histogram + NAIVE recount-per-iteration merge loop (no incremental
+# bookkeeping — a different algorithm arriving at the same spec), and a
+# from-scratch encoder. re.ASCII pins \s/\w to the same ASCII classes Java's
+# regex uses, so both engines pre-tokenize identically on any input.
+# ---------------------------------------------------------------------------
+
+_BPE_WORD_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]", re.ASCII)
+
+
+def bpe_histogram(texts: pd.Series, lowercase: bool = True) -> dict[str, int]:
+    hist: dict[str, int] = {}
+    for t in texts:
+        t = "" if t is None or (isinstance(t, float) and math.isnan(t)) else str(t)
+        if lowercase:
+            t = t.lower()
+        for w in _BPE_WORD_RE.findall(t):
+            hist[w] = hist.get(w, 0) + 1
+    return hist
+
+
+def bpe_train(hist: dict[str, int], num_merges: int,
+              max_word_types: int = 1_000_000) -> list[tuple[str, str]]:
+    """Naive reference trainer: every iteration recounts ALL pairs over the
+    whole word table, then merges the (max count, lexicographically
+    smallest) pair. Cap order matches the engine: count DESC, word ASC."""
+    capped = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:max_word_types]
+    words = {i: (tuple(w), f) for i, (w, f) in enumerate(capped)}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words.values():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for i, (syms, f) in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == best[0] and syms[j + 1] == best[1]:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = (tuple(out), f)
+    return merges
+
+
+def bpe_encode(text, merges: list[tuple[str, str]], lowercase: bool = True) -> list[str]:
+    """Reference encoder: repeatedly merge all occurrences of the present
+    pair with the lowest merge rank (GPT-2 greedy)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    t = "" if text is None or (isinstance(text, float) and math.isnan(text)) else str(text)
+    if lowercase:
+        t = t.lower()
+    out: list[str] = []
+    for w in _BPE_WORD_RE.findall(t):
+        syms = list(w)
+        while len(syms) > 1:
+            ranked = [(ranks[p], p) for p in zip(syms, syms[1:]) if p in ranks]
+            if not ranked:
+                break
+            _, best = min(ranked)
+            nxt, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == best[0] and syms[j + 1] == best[1]:
+                    nxt.append(best[0] + best[1])
+                    j += 2
+                else:
+                    nxt.append(syms[j])
+                    j += 1
+            syms = nxt
+        out.extend(syms)
+    return out

@@ -99,6 +99,39 @@ def build_drain_goldens(spark, sf_dir: str) -> dict:
     }
 
 
+def build_bpe_goldens(sf_dir: str) -> dict:
+    """INDEPENDENT-oracle BPE goldens: the naive recount-per-iteration
+    trainer and from-scratch encoder in oracle.py derive the merge table
+    and per-lang token stats without touching functions/bpe.py. Shapes
+    mirror q_bpe_merges / q_bpe_token_stats exactly (incl. the SQL-keyword
+    -safe aliases and the unrounded total/n double division)."""
+    import pandas as pd
+
+    from log_parser_mind_spark import oracle
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["text", "lang"])
+    merges = oracle.bpe_train(oracle.bpe_histogram(pdf["text"]), 200)
+    merges_pdf = pd.DataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        columns=["merge_rank", "lhs", "rhs", "token"],
+    )
+
+    stats: dict = {}
+    for text, lang in zip(pdf["text"], pdf["lang"]):
+        toks = oracle.bpe_encode(text, merges)
+        n, total, seen = stats.get(lang, (0, 0, set()))
+        seen.update(toks)
+        stats[lang] = (n + 1, total + len(toks), seen)
+    stats_pdf = pd.DataFrame(
+        [(lang, n, total, len(seen), total / n)
+         for lang, (n, total, seen) in sorted(stats.items())],
+        columns=["lang", "n_docs", "total_bpe_tokens",
+                 "distinct_bpe_tokens", "avg_bpe_tokens_per_doc"],
+    )
+    return {"bpe_merges": merges_pdf, "bpe_token_stats": stats_pdf}
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     import __spark_entry__ as entry
     from log_parser_mind_spark.session import get_spark
@@ -128,6 +161,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     drains = build_drain_goldens(spark, sf_dir)
     for name, pdf in drains.items():
+        write(name, pdf)
+    for name, pdf in build_bpe_goldens(sf_dir).items():
         write(name, pdf)
     for name in (
         "simhash_groups",
