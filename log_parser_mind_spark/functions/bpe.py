@@ -46,6 +46,7 @@ __all__ = [
     "bpe_word_histogram",
     "train_bpe",
     "merges_table",
+    "merges_from_table",
     "with_bpe_tokens",
 ]
 
@@ -155,6 +156,17 @@ def merges_table(spark: SparkSession, merges: list[tuple[str, str]]) -> DataFram
     return spark.createDataFrame(
         rows, "rank long, left string, right string, token string"
     )
+
+
+def merges_from_table(table: DataFrame) -> list[tuple[str, str]]:
+    """Inverse of merges_table: load a persisted vocabulary back into the
+    ordered merge list (rank gaps are tolerated — order is what matters;
+    duplicate ranks are rejected because merge order would be ambiguous)."""
+    rows = table.select("rank", "left", "right").orderBy("rank").collect()
+    ranks = [r["rank"] for r in rows]
+    if len(set(ranks)) != len(ranks):
+        raise ValueError("duplicate rank values make the merge order ambiguous")
+    return [(r["left"], r["right"]) for r in rows]
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -117,3 +117,88 @@ def test_encode_plan_is_one_arrow_stage(spark):
     assert tree.count("ArrowEvalPython") == 1
     assert "Exchange" not in tree
     assert "BatchEvalPython" not in plan
+
+
+def test_merges_round_trip_through_table(spark):
+    merges = train_bpe(_df(spark, CORPUS), num_merges=12)
+    from log_parser_mind_spark.functions.bpe import merges_from_table
+
+    assert merges_from_table(merges_table(spark, merges)) == merges
+    dup = spark.createDataFrame(
+        [(0, "a", "b", "ab"), (0, "c", "d", "cd")],
+        "rank long, left string, right string, token string",
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        merges_from_table(dup)
+
+
+def test_encode_lifts_to_streaming(spark, tmp_path):
+    """with_bpe_tokens is stateless, so the SAME call runs unchanged on a
+    streaming DataFrame — encode-at-ingestion for a training pipeline.
+    availableNow batch == batch encode, row for row."""
+    merges = train_bpe(_df(spark, CORPUS), num_merges=10)
+    in_path, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    batch_df = _df(spark, CORPUS)
+    batch_df.write.parquet(in_path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_path)
+    q = (
+        with_bpe_tokens(stream, merges)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming encode did not finish"
+    got = sorted(
+        (r.doc_id, tuple(r.bpe_tokens)) for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in with_bpe_tokens(batch_df, merges).collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Property tests (pure Python — no Spark): the engine's INCREMENTAL merge
+# loop and greedy encoder vs the oracle's naive recount trainer / from-
+# scratch encoder, over random histograms. Agreement across random inputs
+# is the evidence that the incremental pair bookkeeping (the part that
+# could silently drift: stale counts after a merge, repeated pairs inside
+# one word, tie resolution) implements the same spec.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = st.text(alphabet="abcxy", min_size=1, max_size=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.dictionaries(_WORDS, st.integers(min_value=1, max_value=9), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=25),
+)
+def test_incremental_merge_loop_matches_naive(hist, num_merges):
+    from log_parser_mind_spark.functions.bpe import _merge_loop
+
+    capped = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = _merge_loop(capped, num_merges)
+    want = oracle.bpe_train(hist, num_merges)
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.dictionaries(_WORDS, st.integers(min_value=1, max_value=9), min_size=1, max_size=15),
+    _WORDS,
+)
+def test_greedy_encoder_matches_oracle_and_preserves_chars(hist, word):
+    from log_parser_mind_spark.functions.bpe import _encode_word
+
+    merges = oracle.bpe_train(hist, 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = _encode_word(word, ranks)
+    assert got == oracle.bpe_encode(word, merges)
+    assert "".join(got) == word
