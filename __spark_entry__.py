@@ -2365,6 +2365,148 @@ FROM req
 
 
 # ---------------------------------------------------------------------------
+# Training-data preparation (operators/prep.py) + semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-5 keywords by tf·idf (prep.tfidf_keywords): explode →
+    doc-term counts (map-side combine) → vocabulary df table → term join →
+    per-doc window. Oracle recomputes tf, df, N, ln-idf, and the (score
+    DESC, term ASC) ranking relationally."""
+    from log_parser_mind_spark.operators.prep import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
+_ORACLE_TFIDF_KEYWORDS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         round(tf.tf * ln(n.n_docs / CAST(dft.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+_CHUNK_C, _CHUNK_S = 32, 24
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window token chunking (prep.chunk_documents): zero-shuffle
+    per-row explode; chunk i = original-case tokens [i*S, i*S+C). Oracle
+    replicates the minimal-cover window count and DuckDB's 1-based inclusive
+    list slicing mirrors F.slice."""
+    from log_parser_mind_spark.operators.prep import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), _CHUNK_C, _CHUNK_S)
+
+
+_ORACLE_DOC_CHUNKS = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text,''), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+), idx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CASE WHEN n <= {_CHUNK_C} THEN 1
+                            ELSE 1 + (n - {_CHUNK_C} + {_CHUNK_S} - 1) // {_CHUNK_S} END)) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id, chunk_idx,
+       len(toks[chunk_idx*{_CHUNK_S}+1 : chunk_idx*{_CHUNK_S}+{_CHUNK_C}])::BIGINT AS n_tokens,
+       array_to_string(toks[chunk_idx*{_CHUNK_S}+1 : chunk_idx*{_CHUNK_S}+{_CHUNK_C}], ' ') AS chunk_text
+FROM idx
+"""
+
+
+def q_corpus_datacard(spark, sf_dir):
+    """ROLLUP corpus datacard (prep.corpus_datacard): per-(lang, source)
+    doc/token/char mass + mean quality, with lang subtotals and a grand
+    total; GROUPING() labels ('ALL') so NULL data can't collide with
+    subtotal rows. Quality averages via exact integer micro-units — see the
+    operator docstring for why a plain avg(double) is not cross-engine
+    deterministic at round-half boundaries."""
+    from log_parser_mind_spark.operators.prep import corpus_datacard
+
+    return corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_corpus_datacard() -> str:
+    stop = ", ".join(repr(w) for w in tx.LANG_STOPWORDS["en"])
+    return f"""
+WITH s AS (
+  SELECT lang, source,
+         len(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+                         t -> t <> '')) AS n_tok,
+         length(coalesce(text,'')) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t IN ({stop}))) AS stop
+  FROM documents
+), q AS (
+  SELECT lang, source, n_tok, n_chars,
+         round(round(0.4 * least(n_tok / 64.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tok > 0 THEN stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+             + 0.3 * (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 4, 1.0)),
+             6) * 1000000)::BIGINT AS qm
+  FROM s
+)
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE coalesce(lang, '(null)') END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE coalesce(source, '(null)') END AS source,
+       count(*) AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       round(avg(n_tok), 6) AS avg_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(sum(qm) / count(*) / 1000000.0, 6) AS avg_quality
+FROM q GROUP BY ROLLUP(lang, source)
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup): k-means
+    blocking + within-cluster exact cosine, keep min id. The embeddings
+    table has no natural near-dups (max pairwise cosine 0.51), so the query
+    PLANTS them: every vector gets a deterministically perturbed copy
+    (+0.02 per dim; the table is unit-norm, so copy cosine ≈ 0.987 — min
+    0.9871 at sf0.01) under id+100000 — at threshold 0.98 the copies drop,
+    originals survive, and natural pairs (≤ 0.51) are nowhere near the
+    boundary. k-means blocking has recall < 1 BY DESIGN: at sf0.01, 16 of
+    500 planted copies land in a different cluster than their original and
+    survive (96.8% recall) — the golden records exactly that, pinning the
+    honest blocking behavior, not an idealized all-dropped outcome. k-means
+    is iterative driver-state (same class as IVF), so the oracle is a locked
+    deterministic golden."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") + F.lit(0.02)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    kept = dedup.semantic_dedup(
+        corpus, threshold=0.98, n_centroids=8, iterations=3, dim=64
+    )
+    return kept.select("vec_id", F.col("centroid_id").cast("long").alias("centroid_id"))
+
+
+# ---------------------------------------------------------------------------
 # Golden oracles (data/golden/, produced by tools/make_goldens.py at sf0.01)
 #
 # drain_* goldens are INDEPENDENT: the pandas oracle (lpms/oracle.py, a
@@ -2463,6 +2605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mixture": q_training_mixture,
         "events_in_sessions": q_events_in_sessions,
         "packed_corpus": q_packed_corpus,
+        "tfidf_keywords": q_tfidf_keywords,
+        "doc_chunks": q_doc_chunks,
+        "corpus_datacard": q_corpus_datacard,
+        "semantic_dedup": q_semantic_dedup,
         "error_rates_events": q_error_rates_events,
         "topk_users": q_topk_users,
         "two_stage_rollup": q_two_stage_rollup,
@@ -2590,6 +2736,10 @@ def oracle_sql() -> dict[str, str]:
         "training_mixture": _ORACLE_TRAINING_MIXTURE,
         "events_in_sessions": _ORACLE_EVENTS_IN_SESSIONS,
         "packed_corpus": _ORACLE_PACKED_CORPUS,
+        "tfidf_keywords": _ORACLE_TFIDF_KEYWORDS,
+        "doc_chunks": _ORACLE_DOC_CHUNKS,
+        "corpus_datacard": _oracle_corpus_datacard(),
+        "semantic_dedup": _golden_sql("semantic_dedup", "vec_id, centroid_id"),
         "error_rates_events": _ORACLE_ERROR_RATES_EVENTS,
         "topk_users": _ORACLE_TOPK_USERS,
         "two_stage_rollup": _ORACLE_TWO_STAGE_ROLLUP,

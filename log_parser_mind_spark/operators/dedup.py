@@ -557,3 +557,56 @@ def connected_components(
         # the last label table cached in a long-lived session.
         if not converged:
             labels.unpersist()
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): k-means clusters as the BLOCKING stage, exact cosine verify
+    WITHIN clusters only, keep the min-id representative of every near-dup
+    pair. Complements ``embedding_near_dups``: hyperplane LSH blocks by
+    random projections (recall provable per pair), k-means blocks by learned
+    density (buckets adapt to the corpus — tight semantic clusters land
+    together even when random projections would split them).
+
+    The cluster fit is the deterministic seeded Lloyd loop shared with IVF
+    ANN (similarity._ivf_fit — centroids rounded 6dp per collect, so the fit
+    is parallelism-invariant). Verify cost is Σ cluster² — measure with
+    similarity.bucket_stats(assigned, ["centroid_id"]) and raise
+    ``n_centroids`` (≈ sqrt(N) keeps E[cluster] = sqrt(N)) before running
+    the pairwise stage at scale. Cosines are rounded 6dp BEFORE the
+    threshold compare (repo float convention); zero-norm vectors have NULL
+    cosine → never near-dups → always kept. NULL ids never pair (< is
+    NULL-rejecting) and survive the anti-join — id hygiene is the caller's
+    contract, matching the other dedup ops.
+
+    Returns the KEPT rows: (id, centroid_id) — drop set = ids appearing as
+    the larger id of any within-cluster pair with cosine >= threshold.
+    """
+    from .similarity import cosine_expr, ivf_assignments
+
+    assigned = ivf_assignments(
+        embeddings, n_centroids, iterations, id_col, vec_col, dim
+    )
+    slim = assigned.select(id_col, vec_col, "centroid_id")
+    a, b = slim.alias("a"), slim.alias("b")
+    drops = (
+        a.join(b, "centroid_id")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.round(
+                cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            )
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(drops, id_col, "left_anti").select(id_col, "centroid_id")

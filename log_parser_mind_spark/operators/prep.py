@@ -1,0 +1,206 @@
+"""Training-data preparation operators: tf-idf keyword extraction,
+sliding-window token chunking, and a rollup corpus datacard.
+
+These extend the reference's text-analytics surface (quality/lang/token
+counting in ``functions/text.py``) with the document-shaping passes an LLM
+training pipeline runs right before export — no reference analog (the
+reference stops at per-log templates; see README.md:1-40 scope), so the
+semantics follow the public-standard definitions (tf·idf with natural-log
+idf; RAG-style overlapping chunks; per-slice corpus statistics).
+
+Scale shapes (100 TB):
+
+  tfidf_keywords  — explode → groupBy(doc, term) with map-side combine (the
+                    big shuffle moves distinct (doc, term) pairs, Zipf-thin
+                    vs raw tokens) → vocabulary-sized df table → equi-join on
+                    term (both sides shuffle-partitioned by term; the vocab
+                    side is NOT broadcast because a web-scale vocabulary is
+                    itself huge) → per-doc window over ≤|doc vocab| rows.
+  chunk_documents — pure per-row explode: zero shuffles, scan-scaling;
+                    chunk boundaries are a closed-form function of the
+                    token count, so no state crosses rows.
+  corpus_datacard — one rollup aggregation; map-side partial aggs bound the
+                    shuffle by |lang|×|source| groups per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import lower_tokens, quality_score_from, with_tokens
+
+__all__ = ["tfidf_keywords", "chunk_documents", "corpus_datacard"]
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf·idf.
+
+    tf = in-document term count over the shared whitespace tokenizer
+    (``lower_tokens`` — ONE tokenizer across the text suite, so keyword
+    terms can never drift from the quality/lang/fingerprint passes);
+    idf = ln(N / df) with N = total input documents (including token-less
+    ones — a constant offset that cannot reorder terms) and df = number of
+    documents containing the term. Ties rank by term ASC (deterministic:
+    (score, term) is unique per doc because terms are distinct per doc).
+    Docs with no tokens yield no rows. Scores are rounded to 6dp — ln is
+    not IEEE-correctly-rounded, so the last ulps are engine-specific; 6dp
+    is the repo-wide float-compare convention.
+
+    Returns (id, term, tf, df, tfidf, rank), rank in 1..k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tf = (
+        docs.select(F.col(id_col), F.explode(lower_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        # Both the df table and the score join read this subtree; Catalyst
+        # does not CSE across join branches, so WITHOUT a persist the full
+        # corpus explode+shuffle runs TWICE (verified in the formatted
+        # plan). MEMORY_AND_DISK: the doc-term table spills rather than
+        # recomputes. Stays persisted in the returned frame's lineage —
+        # long-lived sessions unpersist via df.unpersist() after consuming
+        # (same contract as dedup.connected_components).
+        .persist()
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df is computed by groupBy, NOT count().over(Window.partitionBy(term)):
+    # window aggregation buffers whole term partitions, and stopword terms
+    # appear in nearly every document — groupBy's map-side partial
+    # aggregation absorbs exactly that skew.
+    # 1-row total: crossJoin(broadcast) keeps N distributed-computed without
+    # a driver collect (same pattern as curate.curation_report).
+    n_docs = docs.select(F.count("*").alias("_n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunks: chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)`` of the ORIGINAL-case text
+    (tokens = non-empty splits on ``\\s+``; no lowercasing — chunk text is
+    training payload, not an analysis key). The window count is the minimal
+    cover: 1 chunk when n <= chunk_tokens, else ``1 + ceil((n - C) / S)``,
+    so every token lands in >= 1 chunk and only the last chunk may be short.
+    ``stride <= chunk_tokens`` is enforced (a larger stride silently drops
+    tokens between windows). Docs with zero tokens yield no rows.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens], got stride={stride} "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    c, s = int(chunk_tokens), int(stride)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # Integer ceil((n-c)/s) via (n - c + s - 1) div s; values are doc-token
+    # counts (far below 2^53), so the double division is exact after floor.
+    n_chunks = F.when(n <= c, F.lit(1)).otherwise(
+        (F.lit(1) + F.floor((n - c + (s - 1)) / s)).cast("int")
+    )
+    # sequence(0, -1) would auto-step DESCENDING (the documented trap in
+    # functions/text.py word_ngrams_expr) — n==0 rows take the empty array.
+    idxs = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"), F.explode(idxs).alias("chunk_idx"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(F.col("_toks"), F.col("chunk_idx") * s + 1, c).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_chunk").cast("long").alias("n_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def corpus_datacard(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(lang, source) corpus statistics with ROLLUP subtotals — the
+    "data card" a curation round reports: doc counts, token/char mass, and
+    mean quality per slice, per language, and overall. Rollup levels are
+    labeled via GROUPING() ('ALL'), so a NULL data value can never collide
+    with a subtotal row ('(null)').
+
+    avg() over DOUBLES is combine-order sensitive, and round(6) does NOT
+    absorb it when the true mean sits on a round-half boundary (observed at
+    sf0.01: 0.631034 vs 0.631035 across engines). Quality is therefore
+    aggregated as exact integer MICRO-units (per-doc 6dp score × 1e6 → long;
+    integer sum is order-invariant), and the mean is one deterministic
+    division chain over exact integers — bit-identical in any engine.
+    avg_tokens needs no such treatment: the int sum is exact and a single
+    long/long IEEE division is correctly rounded.
+
+    Returns (lang, source, n_docs, total_tokens, avg_tokens, total_chars,
+    avg_quality) — one row per (lang, source), per lang, and one grand total.
+    """
+    t = with_tokens(docs, text_col=text_col)
+    base = t.select(
+        "lang",
+        "source",
+        F.size("tokens").alias("_nt"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_nc"),
+        F.round(
+            quality_score_from(F.col("tokens"), F.col(text_col)) * 1e6
+        )
+        .cast("long")
+        .alias("_qm"),
+    )
+    agg = base.rollup("lang", "source").agg(
+        F.grouping("lang").alias("_gl"),
+        F.grouping("source").alias("_gs"),
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        F.sum("_nc").cast("long").alias("total_chars"),
+        F.round(
+            F.sum("_qm") / F.count("*") / F.lit(1e6), 6
+        ).alias("avg_quality"),
+    )
+    label = lambda col, g: F.when(F.col(g) == 1, F.lit("ALL")).otherwise(  # noqa: E731
+        F.coalesce(F.col(col), F.lit("(null)"))
+    )
+    return agg.select(
+        label("lang", "_gl").alias("lang"),
+        label("source", "_gs").alias("source"),
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        "total_chars",
+        "avg_quality",
+    )

@@ -132,15 +132,22 @@ def build_bpe_goldens(sf_dir: str) -> dict:
     return {"bpe_merges": merges_pdf, "bpe_token_stats": stats_pdf}
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> None:
+    """Optional trailing args restrict regeneration to the named goldens —
+    adding ONE new golden-backed query must not churn every committed part
+    file (the drain/bpe pandas oracles still run when their names are
+    requested; double-entry is per-write, so filtering loses nothing)."""
     import __spark_entry__ as entry
     from log_parser_mind_spark.session import get_spark
 
     spark = get_spark(master="local[8]")
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     qs = entry.queries()
+    wanted = set(only)
 
     def write(name: str, spark_df_pdf) -> None:
+        if wanted and name not in wanted:
+            return
         q = qs[name](spark, sf_dir)
         if spark_df_pdf is None:  # locked-output golden: the query itself
             out = q
@@ -159,11 +166,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         out.coalesce(1).write.mode("overwrite").parquet(path)
         print(f"golden {name}: {out.count()} rows -> {path}")
 
-    drains = build_drain_goldens(spark, sf_dir)
-    for name, pdf in drains.items():
-        write(name, pdf)
-    for name, pdf in build_bpe_goldens(sf_dir).items():
-        write(name, pdf)
+    drain_names = {
+        "drain_templates", "drain_parsed_turns", "drain_top_templates",
+        "drain_global_stats",
+    }
+    if not wanted or wanted & drain_names:
+        for name, pdf in build_drain_goldens(spark, sf_dir).items():
+            write(name, pdf)
+    if not wanted or wanted & {"bpe_merges", "bpe_token_stats"}:
+        for name, pdf in build_bpe_goldens(sf_dir).items():
+            write(name, pdf)
     for name in (
         "simhash_groups",
         "simhash_hamming_dups",
@@ -173,6 +185,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "ivf_ann_topk",
         "ivf_ann_topk_scaled",
         "multimodal_real_decode",
+        "semantic_dedup",
     ):
         write(name, None)
     spark.stop()
