@@ -2478,6 +2478,33 @@ FROM q GROUP BY ROLLUP(lang, source)
 """
 
 
+_CLF_B, _CLF_IT, _CLF_LR = 128, 15, 4.0
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashing-trick logistic regression (operators/classifier.py) trained
+    through DataFrame aggs on a derived is-English label: crc32 token
+    buckets → ℓ1-normalized sparse features → full-batch GD, one B-bounded
+    shuffle + B+1-scalar collect per iteration, margins as JVM folds with
+    the weight vector inlined (no join, no UDF). Training is iterative
+    driver-state (same class as k-means), so the oracle is a golden — but
+    an INDEPENDENT one: make_goldens retrains from raw parquet with a pure
+    Python mirror (zlib.crc32, dict-of-pairs GD) and asserts double-entry
+    equality before writing. AUC vs the lang label is ~0.63 at sf0.01 —
+    a weak-but-real signal through hash collisions; the golden pins the
+    exact trajectory, the pytest suite pins learning on separable data."""
+    from log_parser_mind_spark.operators.classifier import (
+        score_logreg,
+        token_bucket_features,
+        train_logreg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = token_bucket_features(docs, _CLF_B, label=F.col("lang") == "en")
+    w, b = train_logreg(feats, _CLF_B, _CLF_IT, _CLF_LR)
+    return score_logreg(feats, w, b).select("doc_id", "y", "score")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (dedup.semantic_dedup): k-means
     blocking + within-cluster exact cosine, keep min id. The embeddings
@@ -2609,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "corpus_datacard": q_corpus_datacard,
         "semantic_dedup": q_semantic_dedup,
+        "quality_classifier": q_quality_classifier,
         "error_rates_events": q_error_rates_events,
         "topk_users": q_topk_users,
         "two_stage_rollup": q_two_stage_rollup,
@@ -2740,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _ORACLE_DOC_CHUNKS,
         "corpus_datacard": _oracle_corpus_datacard(),
         "semantic_dedup": _golden_sql("semantic_dedup", "vec_id, centroid_id"),
+        "quality_classifier": _golden_sql("quality_classifier", "doc_id, y, score"),
         "error_rates_events": _ORACLE_ERROR_RATES_EVENTS,
         "topk_users": _ORACLE_TOPK_USERS,
         "two_stage_rollup": _ORACLE_TWO_STAGE_ROLLUP,

@@ -132,6 +132,55 @@ def build_bpe_goldens(sf_dir: str) -> dict:
     return {"bpe_merges": merges_pdf, "bpe_token_stats": stats_pdf}
 
 
+def build_classifier_golden(sf_dir: str) -> dict:
+    """INDEPENDENT mirror of q_quality_classifier: retrains the hashed-bag
+    logistic regression from raw parquet in pure Python (zlib.crc32 buckets,
+    dict-of-pairs gradient descent, the same 6dp gradient rounding) —
+    shares no Spark code with operators/classifier.py."""
+    import math
+    import zlib
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    B, it, lr = entry._CLF_B, entry._CLF_IT, entry._CLF_LR
+    rows = duckdb.sql(
+        f"select doc_id, text, lang from '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    mf = {}
+    for did, text, lang in rows:
+        toks = [t for t in (text or "").lower().split() if t]
+        if not toks:
+            continue
+        n, cnt = len(toks), {}
+        for t in toks:
+            k = zlib.crc32(t.encode("utf-8")) % B
+            cnt[k] = cnt.get(k, 0) + 1
+        mf[did] = (1.0 if lang == "en" else 0.0, sorted((k, c / n) for k, c in cnt.items()))
+    n_docs = len(mf)
+    w, b = [0.0] * B, 0.0
+    for _ in range(it):
+        grad, gb = [0.0] * B, 0.0
+        for y, pairs in mf.values():
+            z = b + sum(w[k] * x for k, x in pairs)
+            e = 1.0 / (1.0 + math.exp(-z)) - y
+            for k, x in pairs:
+                grad[k] += e * x
+            gb += e
+        w = [wi - lr * round(g / n_docs, 6) for wi, g in zip(w, grad)]
+        b -= lr * round(gb / n_docs, 6)
+    pdf = pd.DataFrame(
+        [
+            (did, y, round(1.0 / (1.0 + math.exp(-(b + sum(w[k] * x for k, x in pairs)))), 6))
+            for did, (y, pairs) in sorted(mf.items())
+        ],
+        columns=["doc_id", "y", "score"],
+    )
+    return {"quality_classifier": pdf}
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> None:
     """Optional trailing args restrict regeneration to the named goldens —
     adding ONE new golden-backed query must not churn every committed part
@@ -175,6 +224,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> None:
             write(name, pdf)
     if not wanted or wanted & {"bpe_merges", "bpe_token_stats"}:
         for name, pdf in build_bpe_goldens(sf_dir).items():
+            write(name, pdf)
+    if not wanted or "quality_classifier" in wanted:
+        for name, pdf in build_classifier_golden(sf_dir).items():
             write(name, pdf)
     for name in (
         "simhash_groups",
