@@ -2500,7 +2500,16 @@ def q_quality_classifier(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    feats = token_bucket_features(docs, _CLF_B, label=F.col("lang") == "en")
+    # coalesce: a NULL lang must train as y=0 (matching the Python mirror),
+    # not as a NULL label (train_logreg rejects those loudly).
+    feats = token_bucket_features(
+        docs, _CLF_B, label=F.coalesce(F.col("lang") == "en", F.lit(False))
+    ).persist()
+    # Persisting HERE (caller-owned) means train_logreg reuses the cache
+    # and leaves it in place, so scoring reads the cached features instead
+    # of re-running the corpus pass. The small (|docs| × O(B)) cache
+    # outlives the query in multi-query sessions — the documented
+    # connected_components/tfidf_keywords contract.
     w, b = train_logreg(feats, _CLF_B, _CLF_IT, _CLF_LR)
     return score_logreg(feats, w, b).select("doc_id", "y", "score")
 
@@ -2511,17 +2520,23 @@ def q_semantic_dedup(spark, sf_dir):
     table has no natural near-dups (max pairwise cosine 0.51), so the query
     PLANTS them: every vector gets a deterministically perturbed copy
     (+0.02 per dim; the table is unit-norm, so copy cosine ≈ 0.987 — min
-    0.9871 at sf0.01) under id+100000 — at threshold 0.98 the copies drop,
+    0.9871 at sf0.01) under id + 2^40 — at threshold 0.98 the copies drop,
     originals survive, and natural pairs (≤ 0.51) are nowhere near the
-    boundary. k-means blocking has recall < 1 BY DESIGN: at sf0.01, 16 of
+    boundary. k-means blocking has recall < 1 BY DESIGN: at sf0.01, 53 of
     500 planted copies land in a different cluster than their original and
-    survive (96.8% recall) — the golden records exactly that, pinning the
-    honest blocking behavior, not an idealized all-dropped outcome. k-means
-    is iterative driver-state (same class as IVF), so the oracle is a locked
-    deterministic golden."""
+    survive (89.4% recall with 8 clusters; the seeded init keys on
+    xxhash64(id), so the planted-id offset participates in the fit) — the
+    golden records exactly that, pinning the honest blocking behavior, not
+    an idealized all-dropped outcome. k-means is iterative driver-state
+    (same class as IVF), so the oracle is a locked deterministic golden."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # 1<<40 offset: planted ids must NEVER collide with real vec_ids at any
+    # scale factor (a collision would put two different vectors under one
+    # id and silently corrupt the keep-min-id semantics); 2^40 is beyond
+    # any plausible corpus while still exact in a long AND in the golden's
+    # parquet doubles.
     planted = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(1 << 40)).alias("vec_id"),
         F.transform(
             F.col("embedding"), lambda x: (x.cast("double") + F.lit(0.02)).cast("float")
         ).alias("embedding"),

@@ -118,45 +118,69 @@ def train_logreg(
     lr: float = 1.0,
 ) -> tuple[list[float], float]:
     """Full-batch logistic regression over a ``token_bucket_features`` table
-    (must carry ``y``): per iteration one JVM margin fold, one B-bounded
-    gradient groupBy, one B+1-scalar collect; update w ← w − lr·∇/n with
-    gradients rounded 6dp (parallelism invariance — see module docstring).
-    Deterministic zero init (full-batch GD from 0 has no symmetry to
-    break). Returns (weights, bias).
+    (must carry ``y``): per iteration ONE Spark job — the bias gradient
+    rides as a sentinel bucket (id = n_buckets, x = 1.0, since
+    d/db = Σ err·1) appended to each row's pairs, so the margin fold and
+    sigmoid run once per row per iteration, not twice. Update
+    w ← w − lr·∇/n with gradients rounded 6dp (parallelism invariance —
+    see module docstring). Deterministic zero init (full-batch GD from 0
+    has no symmetry to break). Returns (weights, bias).
+
+    Labels must be non-NULL 0/1: a NULL y would be silently skipped by the
+    gradient sums while still counting toward n (and would diverge from
+    the pure-Python golden mirror), so it raises instead. If the caller
+    already persisted ``features``, that cache is used and LEFT ALONE;
+    otherwise a training-scoped persist is taken and released.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    feats = features.persist()
+    from pyspark import StorageLevel
+
+    caller_persisted = features.storageLevel != StorageLevel.NONE
+    feats = features if caller_persisted else features.persist()
     try:
         n = feats.count()
         if n == 0:
             raise ValueError("no feature rows — every input doc was token-less?")
+        n_null = feats.filter(F.col("y").isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"{n_null} feature rows have NULL y — labels must be 0/1 "
+                "(coalesce the label expression; NULL would silently drop "
+                "out of the gradient while still counting toward n)"
+            )
+        sentinel = F.array(
+            F.struct(
+                F.lit(n_buckets).cast("int").alias("bucket"),
+                F.lit(1.0).alias("x"),
+            )
+        )
         w = [0.0] * n_buckets
         b = 0.0
         for _ in range(iterations):
             err = feats.select(
-                "pairs",
+                F.concat(F.col("pairs"), sentinel).alias("_gpairs"),
                 (
                     F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(F.col("pairs"), w, b)))
                     - F.col("y")
                 ).alias("_err"),
             )
             grad_rows = (
-                err.select(F.explode("pairs").alias("p"), "_err")
+                err.select(F.explode("_gpairs").alias("p"), "_err")
                 .groupBy(F.col("p.bucket").alias("bucket"))
                 .agg(F.sum(F.col("_err") * F.col("p.x")).alias("g"))
                 .collect()
             )
-            gb = err.agg(F.sum("_err").alias("g")).collect()[0]["g"]
             grad = {r["bucket"]: r["g"] for r in grad_rows}
             w = [
                 wi - lr * round(grad.get(i, 0.0) / n, 6)
                 for i, wi in enumerate(w)
             ]
-            b -= lr * round(gb / n, 6)
+            b -= lr * round(grad.get(n_buckets, 0.0) / n, 6)
         return w, b
     finally:
-        feats.unpersist()
+        if not caller_persisted:
+            feats.unpersist()
 
 
 def score_logreg(

@@ -588,13 +588,21 @@ def semantic_dedup(
     contract, matching the other dedup ops.
 
     Returns the KEPT rows: (id, centroid_id) — drop set = ids appearing as
-    the larger id of any within-cluster pair with cosine >= threshold.
+    the larger id of any within-cluster pair with cosine >= threshold. The
+    result carries ``.assignments`` (the internally persisted assignment
+    table); long-lived sessions unpersist it after consuming.
     """
     from .similarity import cosine_expr, ivf_assignments
 
     assigned = ivf_assignments(
         embeddings, n_centroids, iterations, id_col, vec_col, dim
-    )
+    ).persist()
+    # The assignment projection (full source scan + per-row argmax over all
+    # centroid literals) feeds THREE plan branches — both self-join sides
+    # and the anti-join left. Catalyst does not CSE across branches, so
+    # without the persist it would execute three times. The cache rides in
+    # the returned frame's lineage; the result carries ``.assignments`` as
+    # the unpersist handle (same contract as tfidf_keywords.doc_terms).
     slim = assigned.select(id_col, vec_col, "centroid_id")
     a, b = slim.alias("a"), slim.alias("b")
     drops = (
@@ -609,4 +617,6 @@ def semantic_dedup(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
-    return assigned.join(drops, id_col, "left_anti").select(id_col, "centroid_id")
+    out = assigned.join(drops, id_col, "left_anti").select(id_col, "centroid_id")
+    out.assignments = assigned  # unpersist handle — see the persist note
+    return out

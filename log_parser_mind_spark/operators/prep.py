@@ -43,15 +43,21 @@ def tfidf_keywords(
     tf = in-document term count over the shared whitespace tokenizer
     (``lower_tokens`` — ONE tokenizer across the text suite, so keyword
     terms can never drift from the quality/lang/fingerprint passes);
-    idf = ln(N / df) with N = total input documents (including token-less
-    ones — a constant offset that cannot reorder terms) and df = number of
-    documents containing the term. Ties rank by term ASC (deterministic:
+    idf = ln(N / df) with N = total input documents and df = number of
+    documents containing the term. N counting token-less docs is a PINNED
+    CONVENTION, not a neutral choice: score = tf·(ln N − ln df), so
+    changing N shifts every term by tf·Δ(ln N) and CAN reorder terms with
+    different tf — the oracle recomputes the same N, and the committed
+    results depend on it. Ties rank by term ASC (deterministic:
     (score, term) is unique per doc because terms are distinct per doc).
     Docs with no tokens yield no rows. Scores are rounded to 6dp — ln is
     not IEEE-correctly-rounded, so the last ulps are engine-specific; 6dp
     is the repo-wide float-compare convention.
 
-    Returns (id, term, tf, df, tfidf, rank), rank in 1..k.
+    Returns (id, term, tf, df, tfidf, rank), rank in 1..k. The result
+    carries ``.doc_terms`` — the internally persisted doc-term table (see
+    the persist note in the body); long-lived sessions unpersist it after
+    consuming the result.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -63,9 +69,9 @@ def tfidf_keywords(
         # does not CSE across join branches, so WITHOUT a persist the full
         # corpus explode+shuffle runs TWICE (verified in the formatted
         # plan). MEMORY_AND_DISK: the doc-term table spills rather than
-        # recomputes. Stays persisted in the returned frame's lineage —
-        # long-lived sessions unpersist via df.unpersist() after consuming
-        # (same contract as dedup.connected_components).
+        # recomputes. The RETURNED frame is a projection, not this cache,
+        # so the handle rides along as ``result.doc_terms`` — long-lived
+        # sessions call result.doc_terms.unpersist() after consuming.
         .persist()
     )
     df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -85,11 +91,13 @@ def tfidf_keywords(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+    out.doc_terms = tf  # unpersist handle — see the persist note above
+    return out
 
 
 def chunk_documents(
@@ -118,10 +126,17 @@ def chunk_documents(
             f"chunk_tokens={chunk_tokens}"
         )
     c, s = int(chunk_tokens), int(stride)
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+    # Materialize the tokenization in its OWN projection first: Catalyst
+    # does not CSE non-cheap expression trees, so referencing the split
+    # inline from n / n_chunks / the guard would re-run the regex ~4x per
+    # row (the documented trap at functions/text.py:42-44).
+    tokd = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+        ).alias("_toks"),
     )
-    n = F.size(toks)
+    n = F.size(F.col("_toks"))
     # Integer ceil((n-c)/s) via (n - c + s - 1) div s; values are doc-token
     # counts (far below 2^53), so the double division is exact after floor.
     n_chunks = F.when(n <= c, F.lit(1)).otherwise(
@@ -133,7 +148,7 @@ def chunk_documents(
         F.array().cast("array<int>")
     )
     return (
-        docs.select(F.col(id_col), toks.alias("_toks"), F.explode(idxs).alias("chunk_idx"))
+        tokd.select(F.col(id_col), F.col("_toks"), F.explode(idxs).alias("chunk_idx"))
         .select(
             id_col,
             F.col("chunk_idx").cast("long").alias("chunk_idx"),

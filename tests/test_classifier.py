@@ -131,3 +131,23 @@ def test_validation(spark):
     )
     with pytest.raises(ValueError, match="token-less"):
         train_logreg(empty, 16, 3)
+
+
+def test_caller_persist_is_respected(spark):
+    from pyspark import StorageLevel
+
+    feats = token_bucket_features(_docs(spark), 16, label=F.col("y") == 1).persist()
+    try:
+        train_logreg(feats, 16, 2, 1.0)
+        # training must not clobber a caller-owned cache
+        assert feats.storageLevel != StorageLevel.NONE
+    finally:
+        feats.unpersist()
+
+
+def test_null_labels_raise(spark):
+    rows = [(1, "a b c", 1), (2, "d e f", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    feats = token_bucket_features(df, 16, label=F.col("y") == 1)
+    with pytest.raises(ValueError, match="NULL y"):
+        train_logreg(feats, 16, 2, 1.0)

@@ -235,3 +235,31 @@ def test_semantic_dedup_zero_vector_kept(spark):
     kept = semantic_dedup(_vecs(spark, rows), 0.5, n_centroids=2, iterations=1, dim=4)
     # zero-norm vectors have undefined cosine -> never near-dups -> all kept
     assert sorted(r.vec_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_tfidf_doc_terms_unpersist_handle(spark):
+    from pyspark import StorageLevel
+
+    out = tfidf_keywords(_docs(spark), k=2)
+    out.count()
+    assert out.doc_terms.storageLevel != StorageLevel.NONE
+    out.doc_terms.unpersist()
+    assert out.doc_terms.storageLevel == StorageLevel.NONE
+
+
+def test_chunk_plan_tokenizes_once(spark):
+    # the split must live in its own projection (referenced >1x), not be
+    # inlined per consumer — Catalyst does not CSE regex trees
+    plan = chunk_documents(_docs(spark), 4, 2)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1
+
+
+def test_semantic_dedup_assignments_handle(spark):
+    from pyspark import StorageLevel
+
+    rng = np.random.default_rng(3)
+    df = _vecs(spark, [(i, [float(x) for x in rng.normal(size=4)]) for i in range(10)])
+    out = semantic_dedup(df, 0.99, n_centroids=2, iterations=1, dim=4)
+    out.count()
+    assert out.assignments.storageLevel != StorageLevel.NONE
+    out.assignments.unpersist()

@@ -189,6 +189,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> None:
     import __spark_entry__ as entry
     from log_parser_mind_spark.session import get_spark
 
+    if not os.path.isdir(sf_dir):
+        # `make_goldens.py quality_classifier` (name without sf_dir) would
+        # otherwise bind the NAME to sf_dir and fail deep in a read with a
+        # baffling path error.
+        raise SystemExit(
+            f"first argument must be an sf_dir (got {sf_dir!r}) — usage: "
+            "make_goldens.py [sf_dir] [golden_name ...]"
+        )
     spark = get_spark(master="local[8]")
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     qs = entry.queries()
