@@ -122,6 +122,18 @@ def main() -> None:
         ),
     )
 
+    # r5 fourth wave: tf-idf keyword extraction (the representative
+    # multi-shuffle doc op: explode → two groupBys → term join → per-doc
+    # window). New entry — compare per-query across rounds.
+    from log_parser_mind_spark.operators.prep import tfidf_keywords
+
+    def _tfidf():
+        out = tfidf_keywords(docs, k=5)
+        _noop(out)
+        out.doc_terms.unpersist()
+
+    timed("tfidf_keywords", _tfidf)
+
     ev = read_table(spark, sf_dir, "events")
     timed(
         "error_rates_events",
