@@ -263,3 +263,29 @@ def test_semantic_dedup_assignments_handle(spark):
     out.count()
     assert out.assignments.storageLevel != StorageLevel.NONE
     out.assignments.unpersist()
+
+
+def test_chunk_plan_zero_exchange(spark):
+    plan = chunk_documents(_docs(spark), 4, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunking_lifts_to_streaming(spark, tmp_path):
+    """chunk_documents is stateless per-row, so the SAME call chunks a
+    stream (chunk-at-ingestion); availableNow == batch, row for row."""
+    in_path, out, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    docs = _docs(spark)
+    docs.write.parquet(in_path)
+    batch = sorted(map(tuple, chunk_documents(docs, 3, 2).collect()))
+    stream = spark.readStream.schema(docs.schema).parquet(in_path)
+    q = (
+        chunk_documents(stream, 3, 2)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == batch
