@@ -51,11 +51,17 @@ def token_bucket_features(
     id_col: str = "doc_id",
     text_col: str = "text",
     label: F.Column | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc sparse hashed-bag features: bucket = crc32(token) % B over
     the shared whitespace tokenizer, x = bucket count / doc token count
     (ℓ1-normalized — document length must not dominate the margin).
     Token-less docs are EXCLUDED (no features to train or score on).
+
+    ``tokens_col`` names an ALREADY-MATERIALIZED token array to use instead
+    of tokenizing ``text_col`` — pipelines that carry ``with_tokens``
+    output (e.g. the curation funnel) must not pay a second regex split;
+    the caller owns the guarantee that it came from the same tokenizer.
 
     Returns (id, y?, pairs array<struct<bucket int, x double>>), pairs
     sorted by bucket so downstream folds are order-deterministic. ``label``
@@ -69,7 +75,10 @@ def token_bucket_features(
     cols = [F.col(id_col)]
     if label is not None:
         cols.append(label.cast("double").alias("y"))
-    toks = docs.select(*cols, lower_tokens(F.col(text_col)).alias("_toks")).filter(
+    tok_expr = (
+        F.col(tokens_col) if tokens_col is not None else lower_tokens(F.col(text_col))
+    )
+    toks = docs.select(*cols, tok_expr.alias("_toks")).filter(
         F.size("_toks") > 0
     )
     exploded = toks.select(

@@ -49,8 +49,22 @@ def curate_corpus(
     simhash_bands: int = 4,
     embedding_dim: int = 64,
     embedding_threshold: float = 0.9,
+    model: tuple[list[float], float] | None = None,
+    model_buckets: int = 128,
+    min_model_score: float = 0.5,
 ) -> DataFrame:
-    """Curated corpus: input columns plus (lang, quality, n_tokens).
+    """Curated corpus: input columns plus (lang, quality, n_tokens) — and
+    ``model_score`` when a trained model gates the funnel.
+
+    ``model`` = (weights, bias) from ``classifier.train_logreg`` adds a
+    FOURTH stage after the heuristic quality gate: hashed-bag features are
+    built from the funnel's already-materialized tokens (no second regex
+    pass), scored with the stateless sigmoid projection, and docs below
+    ``min_model_score`` drop. Token-less docs have no features and drop
+    with the model stage enabled (nothing to score — and nothing to train
+    on). ``model_buckets`` MUST equal the n_buckets the model was trained
+    with (the weight vector's length is checked — a silent mismatch would
+    score garbage).
 
     Two LSH regimes, and the difference is THE scale decision:
 
@@ -70,6 +84,11 @@ def curate_corpus(
     if near_dup not in ("jaccard", "simhash", "embedding"):
         # Fail before stage 1 registers a persist() cache entry.
         raise ValueError(f"near_dup must be jaccard|simhash|embedding, got {near_dup!r}")
+    if model is not None and len(model[0]) != model_buckets:
+        raise ValueError(
+            f"model has {len(model[0])} weights but model_buckets={model_buckets} "
+            "— the scoring buckets must match the training buckets"
+        )
     exact_keep = dedup.exact_dedup(docs, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
@@ -131,6 +150,17 @@ def curate_corpus(
     out = t.filter(F.col("quality") >= min_quality)
     if langs:
         out = out.filter(F.col("lang").isin(*langs))
+    if model is not None:
+        from .classifier import score_logreg, token_bucket_features
+
+        w, b = model
+        feats = token_bucket_features(
+            out, model_buckets, id_col=id_col, tokens_col="tokens"
+        )
+        scores = score_logreg(feats, w, b).select(id_col, "score")
+        out = out.join(scores, id_col).filter(
+            F.col("score") >= min_model_score
+        ).withColumnRenamed("score", "model_score")
     return out.drop("tokens")
 
 

@@ -151,3 +151,33 @@ def test_null_labels_raise(spark):
     feats = token_bucket_features(df, 16, label=F.col("y") == 1)
     with pytest.raises(ValueError, match="NULL y"):
         train_logreg(feats, 16, 2, 1.0)
+
+
+def test_curate_corpus_model_stage(spark):
+    """The trained model plugs into the curation funnel as a fourth stage:
+    low-score docs drop, survivors carry model_score, bucket-count
+    mismatches fail loudly."""
+    from log_parser_mind_spark.operators.curate import curate_corpus
+
+    B = 32
+    feats = token_bucket_features(_docs(spark), B, label=F.col("y") == 1)
+    w, b = train_logreg(feats, B, iterations=60, lr=8.0)
+
+    rows = [(i, t, 1) for i, t in enumerate(GOOD)] + [
+        (100 + i, t, 0) for i, t in enumerate(BAD)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    base = {r.doc_id for r in curate_corpus(docs, persist_intermediate=False).collect()}
+    out = curate_corpus(
+        docs, persist_intermediate=False,
+        model=(w, b), model_buckets=B, min_model_score=0.5,
+    ).collect()
+    kept = {r.doc_id for r in out}
+    # the separable model keeps exactly the GOOD docs that survived the
+    # earlier stages, and every survivor carries its score
+    assert kept == {d for d in base if d < 100}
+    assert all(r.model_score > 0.5 for r in out)
+    with pytest.raises(ValueError, match="model_buckets"):
+        curate_corpus(docs, model=(w, b), model_buckets=B * 2)
