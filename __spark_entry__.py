@@ -282,6 +282,64 @@ FROM documents
 """
 
 
+def q_streaming_contamination(spark, sf_dir):
+    """Ingestion-time benchmark-contamination alerts (streaming.
+    streaming_contamination_alerts): the documents corpus as a 2-micro-batch
+    stream, stream-static-joined on exact case-folded 8-gram hashes against
+    the SAME static benchmark as exact_contamination (every 7th doc) — one
+    alert per contaminated doc across all triggers. The oracle recomputes
+    the distinct contaminated ids relationally; convergence with the batch
+    audit is the shared-gram-builder guarantee (curate.distinct_gram_hashes),
+    tested in tests/test_streaming.py."""
+    from log_parser_mind_spark.streaming.stream import streaming_contamination_alerts
+
+    root, stream = _staged_transcript_stream(spark, sf_dir, "logmind_scontam_contract_")
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.format_string("conv_%08d", F.col("doc_id")).alias("conv_id"), "text"
+    )
+    q = (
+        streaming_contamination_alerts(stream, bench, n=8)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out").select("conv_id")
+
+
+# ONE gram-identity definition for the batch audit AND the streaming alert
+# oracles (8-grams over the shared ws tokenizer; corpus = documents,
+# blocklist = every 7th doc) — mirroring the engine side, where both paths
+# share curate.distinct_gram_hashes. Editing one oracle's gram rule without
+# the other is impossible by construction.
+_GRAM_CTES = r"""
+WITH ctoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t
+  FROM documents
+), btoks AS (
+  SELECT list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id % 7 = 0
+), cg AS (
+  SELECT DISTINCT doc_id, g
+  FROM ctoks, LATERAL unnest(list_transform(generate_series(1, greatest(len(t)-7, 0)),
+                                            i -> array_to_string(list_slice(t, i, i+7), ' '))) AS u(g)
+), bg AS (
+  SELECT DISTINCT g
+  FROM btoks, LATERAL unnest(list_transform(generate_series(1, greatest(len(t)-7, 0)),
+                                            i -> array_to_string(list_slice(t, i, i+7), ' '))) AS u(g)
+)"""
+
+_ORACLE_STREAMING_CONTAMINATION = _GRAM_CTES + r"""
+SELECT DISTINCT printf('conv_%08d', cg.doc_id) AS conv_id
+FROM cg JOIN bg USING (g)
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     assets = multimodal.synth_assets(spark, n=64)
     feats = multimodal.decode_and_featurize(assets, fake=True)
@@ -1420,6 +1478,61 @@ WITH bl AS (
   WHERE common / CAST(csz.n + bsz.n - common AS DOUBLE) >= 0.7
 )
 SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT cid FROM dirty)
+"""
+
+
+def q_exact_contamination(spark, sf_dir):
+    """GPT-3/PaLM-style exact n-gram overlap report (curate.
+    exact_contamination) against the same synthetic benchmark as
+    decontaminated_corpus (every 7th doc): per doc, distinct case-folded
+    8-gram count, benchmark-hit count, overlap fraction, contaminated flag.
+    The blocklist gram set broadcasts; the corpus is never self-joined.
+    Oracle recomputes grams relationally (gram STRINGS; the Spark side
+    compares xxhash64 of the same strings)."""
+    from log_parser_mind_spark.operators.curate import exact_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    return exact_contamination(docs, bench, n=8, min_hits=1)
+
+
+_ORACLE_EXACT_CONTAMINATION = _GRAM_CTES + r""",
+sz AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY 1),
+   hit AS (SELECT cg.doc_id, count(*) AS n FROM cg JOIN bg USING (g) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(sz.n, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(hit.n, 0) AS BIGINT) AS n_hit_grams,
+       CASE WHEN coalesce(sz.n, 0) > 0 THEN round(coalesce(hit.n, 0) / sz.n, 6) ELSE 0.0 END AS overlap_frac,
+       coalesce(hit.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)
+"""
+
+
+def q_source_capped(spark, sf_dir):
+    """Domain capping (sample.cap_per_group): at most 100 documents per
+    lang, the 100 smallest (minstd(doc_id, 21), doc_id) per group — at
+    sf0.01 only 'en' (218 docs) is capped and the four smaller langs pass
+    whole; at sf0.1 every lang caps. Oracle is the equivalent QUALIFY
+    row_number() window; the operator deliberately computes the same
+    k-smallest WITHOUT a per-group window (bounded local prune + bounded
+    global agg) so a hot domain never concentrates on one reducer."""
+    from log_parser_mind_spark.operators.sample import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, 100, group_col="lang", key_col="doc_id", salt=21).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_ORACLE_SOURCE_CAPPED = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         (((((doc_id % 2147483647) * 48271 + 21) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS h
+  FROM documents
+)
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 100
 """
 
 
@@ -2587,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_templates": q_stateful_templates,
         "streaming_parsed": q_streaming_parsed,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_contamination": q_streaming_contamination,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         # grok/parse layer (oracle-checked)
@@ -2633,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "asof_enrich": q_asof_enrich,
         "decontaminated_corpus": q_decontaminated_corpus,
+        "exact_contamination": q_exact_contamination,
+        "source_capped": q_source_capped,
         "boilerplate_stripped": q_boilerplate_stripped,
         "repetition_scores": q_repetition_scores,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2708,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
             "drain_templates", "template_id, pattern, log_count"
         ),
         "streaming_dedup": _ORACLE_STREAMING_DEDUP,
+        "streaming_contamination": _ORACLE_STREAMING_CONTAMINATION,
         # pure-streaming per-turn parse must equal the batch parse golden
         "streaming_parsed": _golden_sql(
             "drain_parsed_turns",
@@ -2765,6 +2882,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "asof_enrich": _ORACLE_ASOF_ENRICH,
         "decontaminated_corpus": _ORACLE_DECONTAMINATED,
+        "exact_contamination": _ORACLE_EXACT_CONTAMINATION,
+        "source_capped": _ORACLE_SOURCE_CAPPED,
         "boilerplate_stripped": _ORACLE_BOILERPLATE,
         "repetition_scores": _ORACLE_REPETITION,
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,

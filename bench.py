@@ -134,6 +134,19 @@ def main() -> None:
 
     timed("tfidf_keywords", _tfidf)
 
+    # r5 fifth wave: exact n-gram benchmark contamination (broadcast
+    # blocklist gram set, one groupBy). New entry — compare per-query across
+    # rounds; the suite total grew with the suite.
+    from log_parser_mind_spark.operators.curate import exact_contamination
+
+    bench_docs = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    timed(
+        "exact_contamination",
+        lambda: _noop(exact_contamination(docs, bench_docs, n=8)),
+    )
+
     ev = read_table(spark, sf_dir, "events")
     timed(
         "error_rates_events",

@@ -157,10 +157,13 @@ def curate_corpus(
         feats = token_bucket_features(
             out, model_buckets, id_col=id_col, tokens_col="tokens"
         )
-        scores = score_logreg(feats, w, b).select(id_col, "score")
-        out = out.join(scores, id_col).filter(
-            F.col("score") >= min_model_score
-        ).withColumnRenamed("score", "model_score")
+        # Alias BEFORE the join: the funnel input may legitimately carry a
+        # 'score' column of its own, and joining one in would make the
+        # filter's reference ambiguous (hard AnalysisException).
+        scores = score_logreg(feats, w, b).select(
+            id_col, F.col("score").alias("model_score")
+        )
+        out = out.join(scores, id_col).filter(F.col("model_score") >= min_model_score)
     return out.drop("tokens")
 
 
@@ -204,6 +207,133 @@ def decontaminate(
         )
         .select(F.col("corpus_id").alias(id_col))
         .distinct()
+    )
+    return corpus.join(dirty, id_col, "left_anti")
+
+
+def distinct_gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: tuple = ()
+) -> DataFrame:
+    """(_id, [extra_cols...,] _gh: array<bigint>) — per-row DISTINCT xxhash64
+    word-n-gram hashes over the shared case-folded tokenizer. A pure
+    projection (no shuffle, no state), so it is legal on BATCH and STREAMING
+    frames alike — the one gram-identity definition shared by
+    exact_contamination and the streaming ingestion alerts (the two must
+    never drift, or a doc could be 'clean' at ingestion and 'contaminated'
+    in the batch audit). ``extra_cols`` pass through untouched (the
+    streaming path threads its event-time column for the watermark)."""
+    # tokens in their OWN projection: word_ngrams_expr references the array
+    # size + n slices per gram and Catalyst does not CSE the regex-split
+    # chain (functions/text.py:43-48 trap).
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in extra_cols],
+        tx.lower_tokens(F.col(text_col)).alias("_t"),
+    )
+    return t.select(
+        "_id",
+        *extra_cols,
+        F.array_distinct(
+            F.transform(tx.word_ngrams_expr(F.col("_t"), n), lambda g: F.xxhash64(g))
+        ).alias("_gh"),
+    )
+
+
+def blocklist_gram_set(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One-column (_h) frame of the blocklist's DISTINCT gram hashes — the
+    broadcast side of both the batch audit (exact_contamination) and the
+    streaming ingestion alerts. ONE derivation so the two paths' hit
+    definitions cannot drift."""
+    return (
+        distinct_gram_hashes(df, id_col, text_col, n)
+        .select(F.explode("_gh").alias("_h"))
+        .distinct()
+    )
+
+
+def exact_contamination(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """GPT-3/PaLM-style EXACT n-gram contamination report: for every corpus
+    doc, how many of its distinct case-folded word ``n``-grams also occur
+    anywhere in the ``blocklist`` (benchmark) corpus. The complementary
+    method to ``decontaminate``'s Jaccard LSH: the LSH path catches
+    whole-document near-copies, this one catches a verbatim benchmark
+    QUESTION pasted inside an otherwise-unique page — overlap that
+    document-level Jaccard dilutes below any safe threshold. GPT-3 used
+    13-grams with min_hits=1; FLAN/PaLM-era audits commonly report the
+    overlap fraction too, so both come back:
+
+      (id, n_grams, n_hit_grams, overlap_frac, contaminated)
+
+    n_grams = distinct grams in the doc (0 for docs under ``n`` tokens —
+    they cannot be flagged by this method; length-gate or use
+    ``decontaminate`` for tiny docs), overlap_frac = hits/n_grams rounded
+    6dp (0.0 when no grams), contaminated = n_hit_grams >= ``min_hits``.
+
+    Scale shape: gram identity is xxhash64 of the space-joined gram, so
+    only 8-byte keys move; per-doc DISTINCT is row-local
+    (``array_distinct`` inside the row — never a corpus-wide distinct);
+    the blocklist's gram set (benchmarks are MBs against a 100 TB corpus)
+    is globally distinct'd then BROADCAST left-outer onto the corpus gram
+    stream (explode_outer keeps gram-less docs as one NULL-gram row), and
+    ONE groupBy(id) counts grams and hits together — the corpus is never
+    self-joined, never shuffled by gram, and no corpus-sized frame is ever
+    joined against another (the naive sizes⟕hits plan is a sort-merge join
+    of two corpus-sized tables). Tokens via the suite's shared whitespace
+    tokenizer (functions/text.lower_tokens).
+
+    Reference analog: none — part of the training-data suite the brief
+    adds."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    # explode_outer: a gram-less doc (under n tokens, NULL text) survives as
+    # one NULL-hash row, so the single groupBy below reports it with
+    # n_grams = 0 instead of dropping it.
+    exploded = distinct_gram_hashes(corpus, id_col, text_col, n).select(
+        "_id", F.explode_outer("_gh").alias("_h")
+    )
+    block_set = blocklist_gram_set(blocklist, id_col, text_col, n).withColumn(
+        "_hit", F.lit(1)
+    )
+    per_doc = exploded.join(F.broadcast(block_set), "_h", "left").groupBy("_id").agg(
+        F.count("_h").alias("n_grams"), F.count("_hit").alias("_hits")
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("_hits").cast("long").alias("n_hit_grams"),
+        F.when(F.col("n_grams") > 0, F.round(F.col("_hits") / F.col("n_grams"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
+        (F.col("_hits") >= min_hits).alias("contaminated"),
+    )
+
+
+def exact_decontaminate(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop every corpus doc ``exact_contamination`` flags; surviving rows
+    come back unchanged. Compose with ``decontaminate`` for both regimes
+    (verbatim span + whole-doc near-copy) in one funnel."""
+    dirty = (
+        exact_contamination(corpus, blocklist, id_col, text_col, n, min_hits)
+        .filter(F.col("contaminated"))
+        .select(id_col)
     )
     return corpus.join(dirty, id_col, "left_anti")
 

@@ -500,6 +500,17 @@ def connected_components(
     unconverged (wrong) labeling. Deterministic at any parallelism: min is
     order-free.
 
+    Each round's label table is eagerly ``localCheckpoint``-ed, which both
+    materializes it and TRUNCATES its logical plan. Caching alone is not
+    enough for an iterative dataflow: persist() substitutes the physical
+    scan but the logical plan still nests every prior round (the union+join
+    over the previous labels), so the tree Catalyst re-analyzes doubles per
+    iteration and a deep-chain graph OOMs the DRIVER in the optimizer
+    before any executor touches data. Trade-off: a local checkpoint is not
+    recomputable after executor loss; a cluster run that must survive lost
+    executors should ``spark.sparkContext.setCheckpointDir(...)`` and swap
+    in reliable ``.checkpoint()`` — identical plan shape, durable storage.
+
     At 100 TB: iterations scale with diameter, not corpus size; for
     adversarial long-chain graphs switch to the large-star/small-star
     alternating scheme (O(log n) rounds) — not needed for dedup graphs and
@@ -509,23 +520,26 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
-    converged = False
     try:
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
         for _ in range(max_iter):
             msgs = sym.join(labels, sym["src"] == labels["node"]).select(
                 F.col("dst").alias("node"), F.col("label")
             )
+            # Eager by default: materializes this round's table AND cuts the
+            # plan back to a leaf (see docstring — persist() would leave the
+            # plan growing 2x/round). Superseded rounds' checkpoint RDDs are
+            # released by the context cleaner once dereferenced here.
             new_labels = (
                 labels.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.join(
@@ -534,15 +548,11 @@ def connected_components(
                 .filter(F.col("label") < F.col("_old"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
-                converged = True
-                # The returned frame stays persisted DELIBERATELY: its
-                # lineage is the whole iteration chain, and every
-                # intermediate cache is gone — unpersisting here would make
-                # the caller's first action replay all rounds. Callers that
-                # batch many jobs in one session unpersist after consuming.
+                # Already materialized by its checkpoint: consuming the
+                # result never replays the iteration chain, and there is no
+                # cache-manager entry for the caller to release.
                 return labels.select(
                     F.col("node").alias("doc_id"), F.col("label").alias("component_id")
                 )
@@ -553,10 +563,6 @@ def connected_components(
         )
     finally:
         sym.unpersist()
-        # Error paths (non-convergence, or a mid-loop failure) must not leave
-        # the last label table cached in a long-lived session.
-        if not converged:
-            labels.unpersist()
 
 
 def semantic_dedup(

@@ -378,3 +378,86 @@ def dsir_select(
             F.round("_gk", 6).alias("gumbel_key"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Domain capping: keep at most ``k`` rows per ``group_col`` value (URL
+    host, crawl source, license bucket ...), chosen as the ``k`` smallest
+    (minstd(key), key) pairs — a deterministic uniform draw per group,
+    identical at any parallelism, partitioning, or engine, the same
+    auditability contract as every sampler in this module. Groups smaller
+    than ``k`` survive whole; a NULL group is ONE group (capped like any
+    other); keys must be non-null and castable to long (the shared
+    MINSTD-family contract) and must identify a row WITHIN its group —
+    rows duplicating a kept (group, key) pair all survive together, and
+    duplicated keys occupy top-k slots once per occurrence, so the cap is
+    only "at most k rows" when keys are unique per group. The same key MAY
+    appear under different groups: each group's cap is decided
+    independently (the keep join matches on (group, key), never key
+    alone).
+
+    Scale shape — deliberately NOT ``row_number() over (partition by
+    group)``: a hot domain (half the crawl is one CDN) would concentrate on
+    a single reducer. Instead the decision path projects THREE narrow
+    columns (group, key, draw), a bounded local prune keeps each input
+    partition's k smallest per group (state O(k x groups-in-partition),
+    Arrow-batched; a pre-filter can never evict a global top-k row, so the
+    prune is exact), and the global stage aggregates <= k x n_partitions
+    rows per group — bounded regardless of original skew — with one
+    ``array_sort(collect_list)[1:k]`` per group. Kept keys semi-join back
+    onto the full rows, so document text never rides through the cap
+    decision.
+
+    Reference analog: none — part of the training-data suite the brief
+    adds."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    decision = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(key_col).alias("_k"),
+        _minstd(key_col, salt).alias("_h"),
+    )
+
+    def _local_prune(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            both = pdf if carry is None else pd.concat([carry, pdf], ignore_index=True)
+            both = both.sort_values(["_h", "_k"], kind="mergesort")
+            # dropna=False: the NULL group is a real group, same as the
+            # global stage's groupBy and the SQL oracle's PARTITION BY.
+            carry = both.groupby("_g", dropna=False, sort=False).head(k)
+        if carry is not None and len(carry):
+            yield carry
+
+    pruned = decision.mapInPandas(_local_prune, schema=decision.schema)
+    kept = (
+        pruned.groupBy("_g")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_k").alias("k")))
+                ),
+                1,
+                int(k),
+            ).alias("_top")
+        )
+        .select("_g", F.explode("_top").alias("_t"))
+        .select("_g", F.col("_t.k").alias("_keep_key"))
+    )
+    # eqNullSafe on the group: the NULL group's kept keys must match back
+    # (plain = would drop every NULL-group row here). Key alone is NOT
+    # enough — one key value kept under group A must not smuggle its group-B
+    # twin past B's cap.
+    return df.join(
+        kept,
+        df[group_col].eqNullSafe(kept["_g"]) & (df[key_col] == kept["_keep_key"]),
+        "left_semi",
+    )

@@ -296,3 +296,56 @@ def streaming_exact_dedup(
             ["_norm"]
         )
     return keyed.dropDuplicates(["_norm"])
+
+
+def streaming_contamination_alerts(
+    docs_stream: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "text",
+    n: int = 13,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Benchmark-contamination alerts AT INGESTION: every streamed document
+    sharing at least one exact case-folded word n-gram with the STATIC
+    ``blocklist`` (benchmark corpus) emits one alert row (its id) — the
+    streaming complement of the batch ``curate.exact_contamination`` audit,
+    sharing its gram-identity definition verbatim
+    (curate.distinct_gram_hashes), so ingestion and audit can never disagree
+    on what counts as a hit.
+
+    Scale shape: the gram projection is row-local; the hit test is a
+    STREAM-STATIC inner equi-join on 8-byte gram hashes with the blocklist
+    side broadcast — stateless (stream-static joins keep no state; the
+    static side is re-broadcast per trigger, fine for a benchmark-sized
+    list). The only state is the alert dedup (one key per CONTAMINATED doc
+    — bounded by contamination volume, not corpus size; a doc hitting many
+    grams, or re-ingested in a later trigger, alerts once).
+
+    With ``ts_col`` set the alert dedup uses
+    ``dropDuplicatesWithinWatermark`` — same knob as
+    ``streaming_exact_dedup``: a contaminated doc unseen for longer than
+    the ``watermark`` is evicted from state, so an unbounded crawl hitting
+    benchmark mirrors forever stays bounded (the trade: the SAME doc
+    re-ingested beyond the window alerts again — downstream consumers
+    dedup on id, which the batch audit does anyway). Without ``ts_col``
+    alert-once is exact over all history.
+
+    Reference analog: none — the streaming half of the training-data
+    decontamination suite the brief adds."""
+    from ..operators.curate import blocklist_gram_set, distinct_gram_hashes
+
+    extra = (ts_col,) if ts_col is not None else ()
+    exploded = distinct_gram_hashes(docs_stream, id_col, text_col, n, extra).select(
+        F.col("_id").alias(id_col), *extra, F.explode("_gh").alias("_h")
+    )
+    block_set = blocklist_gram_set(blocklist, id_col, text_col, n)
+    hits = exploded.join(F.broadcast(block_set), "_h")
+    if ts_col is not None:
+        return (
+            hits.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([id_col])
+            .select(id_col)
+        )
+    return hits.select(id_col).dropDuplicates([id_col])

@@ -107,3 +107,42 @@ def test_miner_python_stage_is_only_on_sig_stats(spark):
     )
     full = _plan(parsed)
     assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+
+def test_exact_contamination_blocklist_broadcasts(spark):
+    """The benchmark gram set must ride a BroadcastHashJoin onto the corpus
+    gram stream — a shuffled join would repartition the 100 TB side by gram
+    hash for a benchmark measured in MBs."""
+    from log_parser_mind_spark.operators.curate import exact_contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i} filler tokens here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    plan = _plan(exact_contamination(docs, bench, n=4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cap_per_group_decision_path_is_narrow(spark):
+    """cap_per_group's Python prune sees ONLY (group, key, draw) — document
+    text must never enter the Arrow channel — and the per-group stage is a
+    bounded aggregate, not a row_number window over the group key."""
+    from log_parser_mind_spark.operators.sample import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3), "text payload " * 20) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    plan = _plan(cap_per_group(docs, 5, group_col="source"))
+    assert "MapInPandas" in plan
+    assert "Window" not in plan  # skew-safe: never row_number over the group
+    # The Arrow stage's detail block (formatted explain: "(N) MapInPandas"
+    # heading followed by its Input/Arguments lines, blank-line terminated)
+    # must list only the 3 narrow decision columns — never the text payload.
+    import re
+
+    m = re.search(r"\(\d+\) MapInPandas\n(.*?)(?:\n\n|\Z)", plan, re.S)
+    assert m, plan
+    assert "text" not in m.group(1), m.group(1)
+    assert "_g" in m.group(1) and "_h" in m.group(1)

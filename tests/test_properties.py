@@ -272,9 +272,6 @@ def test_connected_components_matches_union_find(spark, raw_pairs):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     comps = dedup.connected_components(df, max_iter=50)
     got = {r.doc_id: r.component_id for r in comps.collect()}
-    # the returned frame is deliberately persisted (see its docstring) —
-    # batching many examples in the shared session must release each one
-    comps.unpersist()
     assert got == _cc_py(pairs)
 
 
@@ -373,3 +370,78 @@ def test_span_ops_pathological_corpora(spark):
     got = {r.doc_id: r.text for r in dedup_paragraphs(solo).collect()}
     assert got[0] == "only paragraph here"
     assert all(got[i] == "" for i in range(1, 5))
+
+
+# ---------------------------------------------------------------------------
+# exact_contamination: Spark report == pure-Python n-gram set reference
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.text(alphabet=" abC\n", max_size=40), min_size=1, max_size=10),
+    st.lists(st.text(alphabet=" abC\n", max_size=40), min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=4),
+)
+def test_exact_contamination_matches_python_reference(spark, corpus, block, n):
+    """Per-doc (n_grams, n_hit_grams, contaminated) equals the brute-force
+    set-intersection reference for arbitrary corpora — incl. empty texts,
+    sub-n docs, and grams shared across case variants (identity is
+    case-folded)."""
+    from log_parser_mind_spark.operators.curate import exact_contamination
+
+    def grams(t):
+        toks = (t or "").lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bset = set().union(*(grams(t) for t in block))
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(block)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit_grams, r.contaminated)
+        for r in exact_contamination(cdf, bdf, n=n).collect()
+    }
+    assert set(got) == set(range(len(corpus)))
+    for i, t in enumerate(corpus):
+        g = grams(t)
+        hits = len(g & bset)
+        assert got[i] == (len(g), hits, hits >= 1), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group: Spark keep set == pure-Python k-smallest reference
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2**40), st.sampled_from(["x", "y", None])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda p: p[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=100),
+)
+def test_cap_per_group_matches_python_reference(spark, rows, k, salt):
+    """The kept set equals the per-group k-smallest-(minstd, key) reference
+    for arbitrary group assignments (incl. the NULL group) and salts."""
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        r.doc_id
+        for r in sm.cap_per_group(df, k, group_col="source", key_col="doc_id", salt=salt)
+        .select("doc_id")
+        .collect()
+    )
+    by_group: dict = {}
+    for key, grp in rows:
+        by_group.setdefault(grp, []).append(key)
+    want = sorted(
+        key
+        for members in by_group.values()
+        for key in sorted(members, key=lambda i: (minstd_py(i, salt), i))[:k]
+    )
+    assert got == want

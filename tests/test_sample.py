@@ -270,3 +270,53 @@ def test_dsir_select_validation_and_topk(spark):
     assert [(r.doc_id, r.log_weight, r.gumbel_key) for r in sel] == [
         (r.doc_id, r.log_weight, r.gumbel_key) for r in resel
     ]
+
+
+def test_cap_per_group_exact_and_partition_invariant(spark):
+    """Domain capping keeps exactly the k smallest (minstd, key) per group,
+    whole groups under k survive, NULL group is one group, and the local
+    prune makes the result invariant to input partitioning."""
+    from tests.test_properties import minstd_py
+
+    rows = (
+        [(i, "a") for i in range(50)]
+        + [(100 + i, "b") for i in range(3)]
+        + [(200 + i, None) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sm.cap_per_group(df, 10, group_col="source", key_col="doc_id", salt=5)
+    got = sorted(r.doc_id for r in out.collect())
+
+    def expect(ids, k):
+        return sorted(ids, key=lambda i: (minstd_py(i, 5), i))[:k]
+
+    want = sorted(
+        expect(range(50), 10) + expect(range(100, 103), 10) + expect(range(200, 205), 10)
+    )
+    assert got == want  # exact k-smallest per group; small groups whole
+
+    scattered = sorted(
+        r.doc_id
+        for r in sm.cap_per_group(
+            df.repartition(13), 10, group_col="source", key_col="doc_id", salt=5
+        ).collect()
+    )
+    assert scattered == got  # local prune is partitioning-invariant
+
+    with pytest.raises(ValueError, match="k must be"):
+        sm.cap_per_group(df, 0)
+
+
+def test_cap_per_group_key_shared_across_groups(spark):
+    """A key value kept in one group must not smuggle its same-key row in
+    ANOTHER group past that group's cap — the keep join matches (group,
+    key), never key alone."""
+    # Group 'a': keys 0..9; group 'b': the SAME keys 0..9. k=3 → exactly 3
+    # rows per group, each group's own 3 smallest (minstd, key).
+    rows = [(i, g) for g in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sm.cap_per_group(df, 3, group_col="source", key_col="doc_id", salt=1)
+    per_group = {
+        r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_group == {"a": 3, "b": 3}

@@ -364,3 +364,89 @@ def test_stateful_pipeline_hybrid_converges_and_resumes(spark, tmp_path):
     gt2 = sorted(map(tuple, store.read("stream_templates")
                      .select("template_id", "pattern", "log_count").collect()))
     assert gt2 == gt
+
+
+def test_streaming_contamination_alerts_converge_to_batch_audit(spark, tmp_path):
+    """Ingestion-time contamination alerts: a doc carrying a verbatim
+    benchmark n-gram alerts exactly once (even with multiple hit grams),
+    clean docs never alert, a contaminated doc arriving in a LATER
+    micro-batch still alerts, and the alert set equals the batch
+    exact_contamination audit over the same corpus."""
+    import datetime as dt
+
+    from log_parser_mind_spark.operators.curate import exact_contamination
+    from log_parser_mind_spark.schemas import TRANSCRIPTS
+    from log_parser_mind_spark.streaming.stream import streaming_contamination_alerts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    bench = spark.createDataFrame(
+        [("b", "alpha beta gamma delta epsilon zeta eta theta")],
+        "conv_id string, text string",
+    )
+
+    def tr(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    in_path, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema(TRANSCRIPTS).parquet(in_path)
+        q = (
+            streaming_contamination_alerts(stream, bench, n=4)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "streaming query did not finish in time"
+        return sorted(r.conv_id for r in spark.read.parquet(out_dir).collect())
+
+    rows1 = [
+        # multi-gram hit (5 hit grams) — must alert exactly ONCE
+        ("c1", 0, "u", "alpha beta gamma delta epsilon zeta eta theta", "none", t0),
+        ("c2", 0, "u", "totally unrelated words about query engines here", "none", t0),
+    ]
+    tr(rows1).repartition(1).write.mode("append").parquet(in_path)
+    assert run() == ["c1"]
+
+    rows2 = [  # later-trigger contamination still alerts
+        ("c3", 0, "u", "page quoting Beta Gamma Delta Epsilon mid paragraph", "none", t0),
+        ("c4", 0, "u", "clean follow-up content with nothing shared", "none", t0),
+    ]
+    tr(rows2).repartition(1).write.mode("append").parquet(in_path)
+    alerts = run()
+    assert alerts == ["c1", "c3"]
+
+    batch = spark.createDataFrame(
+        [(r[0], r[3]) for r in rows1 + rows2], "conv_id string, text string"
+    )
+    audit = sorted(
+        r.conv_id
+        for r in exact_contamination(batch, bench, id_col="conv_id", n=4)
+        .filter("contaminated")
+        .collect()
+    )
+    assert alerts == audit  # ingestion and audit share one gram identity
+
+    # watermark path (bounded alert state for unbounded crawls): same alert
+    # set on the same corpus, dedup via dropDuplicatesWithinWatermark
+    wm_out, wm_ck = str(tmp_path / "wm_out"), str(tmp_path / "wm_ck")
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(in_path)
+    q = (
+        streaming_contamination_alerts(stream, bench, n=4, ts_col="ts")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", wm_out)
+        .option("checkpointLocation", wm_ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "watermark-path query did not finish in time"
+    assert sorted(
+        r.conv_id for r in spark.read.parquet(wm_out).collect()
+    ) == ["c1", "c3"]

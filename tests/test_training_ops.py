@@ -999,6 +999,22 @@ def test_connected_components_chains_and_cliques(spark):
         dedup.connected_components(long_chain, max_iter=1)
 
 
+def test_connected_components_deep_chain_bounded_plan(spark):
+    """Regression: a path graph needing ~20 propagation rounds must stay
+    cheap. Before the per-round localCheckpoint, persist() cached the DATA
+    but the logical plan still nested every prior round (2x/round), so a
+    deep chain OOMed the driver in the optimizer — caught by hypothesis on
+    a 26-edge random graph."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(chain, max_iter=50).collect()
+    }
+    assert got == {i: 0 for i in range(21)}
+
+
 def test_top_ngrams_heavy_hitters(spark):
     """Corpus heavy hitters: totals count every occurrence, n_docs counts
     documents, the tie-break is total, k truncates deterministically."""
@@ -1207,3 +1223,53 @@ def test_ngram_lm_scores_empty_ref_yields_null_not_perfect(spark):
     assert got[0].n_bigrams == 2  # bigrams still counted
     for r in got.values():
         assert r.avg_nll is None and r.ppl is None
+
+
+def test_exact_contamination_verbatim_span_and_filter(spark):
+    """Exact n-gram contamination: a verbatim benchmark span inside an
+    otherwise-unique doc is caught (the case Jaccard decontamination
+    dilutes away), identity is case-folded, sub-n docs and NULL text report
+    zero grams, min_hits raises the bar, and the filter wrapper drops
+    exactly the flagged docs."""
+    from log_parser_mind_spark.operators import curate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "my unique page content includes Beta Gamma Delta Epsilon pasted verbatim here"),
+            (1, "completely unrelated words about distributed query engines instead"),
+            (2, "tiny doc"),
+            (3, None),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r.doc_id: r
+        for r in curate.exact_contamination(corpus, bench, n=4).collect()
+    }
+    assert len(rep) == 5
+    # doc 0: 12 tokens -> 9 distinct 4-grams, exactly ONE inside the bench
+    assert (rep[0].n_grams, rep[0].n_hit_grams, rep[0].contaminated) == (9, 1, True)
+    assert rep[0].overlap_frac == round(1 / 9, 6)
+    assert (rep[1].n_hit_grams, rep[1].contaminated) == (0, False)
+    for d in (2, 3):  # under n tokens: no grams, never flagged
+        assert (rep[d].n_grams, rep[d].overlap_frac, rep[d].contaminated) == (0, 0.0, False)
+    assert (rep[4].n_hit_grams, rep[4].overlap_frac, rep[4].contaminated) == (5, 1.0, True)
+
+    strict = {
+        r.doc_id: r.contaminated
+        for r in curate.exact_contamination(corpus, bench, n=4, min_hits=2).collect()
+    }
+    assert strict[0] is False and strict[4] is True
+
+    clean = curate.exact_decontaminate(corpus, bench, n=4)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="n must be"):
+        curate.exact_contamination(corpus, bench, n=0)
+    with pytest.raises(ValueError, match="min_hits"):
+        curate.exact_contamination(corpus, bench, min_hits=0)
