@@ -2548,6 +2548,66 @@ FROM idx
 """
 
 
+def q_sft_examples(spark, sf_dir):
+    """Chat-transcript → SFT-row reshape (prep.sft_examples): one example
+    per assistant turn, context = the maximal whole-turn suffix of preceding
+    turns within an 8-token budget, rendered 'role: text' newline-joined.
+    Conversations are derived deterministically from events (conv=user_id,
+    order=event_id, role by event_id%3, text from event_type+props with an
+    event_id%5 tail so turn token counts VARY and the clip boundary is
+    data-dependent); the oracle recomputes the same prefix-sum inclusion
+    rule relationally (include s iff P(t-1) - P(s-1) <= budget) with
+    string_agg ORDER BY for the rendering."""
+    from log_parser_mind_spark.operators.prep import sft_examples
+
+    ev = _t(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("assistant"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        F.concat_ws(
+            " ",
+            F.col("event_type"),
+            F.col("props"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("extra tail tokens")),
+        ).alias("text"),
+    )
+    return sft_examples(turns, context_budget_tokens=8)
+
+
+_ORACLE_SFT_EXAMPLES = r"""
+WITH turns AS (
+  SELECT user_id AS conv_id, event_id AS turn_idx,
+         CASE WHEN event_id % 3 = 0 THEN 'assistant' ELSE 'user' END AS role,
+         concat_ws(' ', event_type, props,
+                   CASE WHEN event_id % 5 = 0 THEN 'extra tail tokens' END) AS text
+  FROM events
+), t AS (
+  SELECT *, CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '')) AS BIGINT) AS ntok
+  FROM turns
+), p AS (
+  SELECT *, sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS pre
+  FROM t
+)
+SELECT a.conv_id, a.turn_idx AS target_turn_idx,
+       coalesce(string_agg(c.role || ': ' || coalesce(c.text, ''), chr(10)
+                           ORDER BY c.turn_idx), '') AS context,
+       a.text AS target,
+       CAST(count(c.turn_idx) AS BIGINT) AS n_context_turns,
+       CAST(coalesce(sum(c.ntok), 0) AS BIGINT) AS n_context_tokens
+FROM p a
+LEFT JOIN p c
+  ON c.conv_id = a.conv_id AND c.turn_idx < a.turn_idx
+ AND (a.pre - a.ntok) - (c.pre - c.ntok) <= 8
+WHERE a.role = 'assistant'
+GROUP BY a.conv_id, a.turn_idx, a.text
+"""
+
+
 def q_corpus_datacard(spark, sf_dir):
     """ROLLUP corpus datacard (prep.corpus_datacard): per-(lang, source)
     doc/token/char mass + mean quality, with lang subtotals and a grand
@@ -2765,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_corpus": q_packed_corpus,
         "tfidf_keywords": q_tfidf_keywords,
         "doc_chunks": q_doc_chunks,
+        "sft_examples": q_sft_examples,
         "corpus_datacard": q_corpus_datacard,
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
@@ -2900,6 +2961,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_corpus": _ORACLE_PACKED_CORPUS,
         "tfidf_keywords": _ORACLE_TFIDF_KEYWORDS,
         "doc_chunks": _ORACLE_DOC_CHUNKS,
+        "sft_examples": _ORACLE_SFT_EXAMPLES,
         "corpus_datacard": _oracle_corpus_datacard(),
         "semantic_dedup": _golden_sql("semantic_dedup", "vec_id, centroid_id"),
         "quality_classifier": _golden_sql("quality_classifier", "doc_id, y, score"),

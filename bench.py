@@ -148,6 +148,31 @@ def main() -> None:
     )
 
     ev = read_table(spark, sf_dir, "events")
+
+    # r5 sixth wave: chat-transcript → SFT-row reshape (one conv-keyed
+    # exchange + JVM HOF context clip). Same events-derived conversation
+    # fixture as the contract query. New entry — compare per-query across
+    # rounds.
+    from log_parser_mind_spark.operators.prep import sft_examples
+
+    sft_turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("assistant"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        F.concat_ws(
+            " ",
+            F.col("event_type"),
+            F.col("props"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("extra tail tokens")),
+        ).alias("text"),
+    )
+    timed(
+        "sft_examples",
+        lambda: _noop(sft_examples(sft_turns, context_budget_tokens=8)),
+    )
+
     timed(
         "error_rates_events",
         lambda: _noop(

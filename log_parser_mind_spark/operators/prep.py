@@ -21,6 +21,13 @@ Scale shapes (100 TB):
                     token count, so no state crosses rows.
   corpus_datacard — one rollup aggregation; map-side partial aggs bound the
                     shuffle by |lang|×|source| groups per task.
+  sft_examples    — ONE conversation-keyed exchange (two window specs share
+                    the (conv, order) sort); the context walk is a per-row
+                    JVM HOF over the running collect_list, so cost is
+                    Σ conv_len² BYTES per conversation — bounded by max
+                    transcript length, never corpus size (chunk giant convs
+                    first; a join-based O(output) formulation exists but
+                    shuffles the turn table twice).
 """
 
 from __future__ import annotations
@@ -29,7 +36,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import lower_tokens, quality_score_from, with_tokens
 
-__all__ = ["tfidf_keywords", "chunk_documents", "corpus_datacard"]
+__all__ = ["tfidf_keywords", "chunk_documents", "corpus_datacard", "sft_examples"]
 
 
 def tfidf_keywords(
@@ -218,4 +225,99 @@ def corpus_datacard(
         "avg_tokens",
         "total_chars",
         "avg_quality",
+    )
+
+
+def sft_examples(
+    turns: DataFrame,
+    context_budget_tokens: int = 512,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Supervised-fine-tuning example construction: one training example per
+    ``target_role`` turn, whose ``context`` is the MAXIMAL suffix of the
+    conversation's preceding turns that fits ``context_budget_tokens``
+    whitespace tokens — turns are included WHOLE (a turn that would overflow
+    the budget is dropped along with everything older; training never sees a
+    half-turn), newest turns win, and the first turn of a conversation gets
+    an empty context. The standard chat-transcript → SFT-row reshape a
+    training pipeline runs right before packing/export.
+
+    Returns ``(conv, target_turn_idx, context, target, n_context_turns,
+    n_context_tokens)`` where ``context`` is the included turns rendered
+    oldest-first as ``role: text`` joined by newlines (NULL text renders as
+    ``role: `` and counts 0 tokens), ``target`` is the target turn's text
+    verbatim, and ``n_context_tokens`` is the included turns' token sum
+    (<= budget). ``order_col`` must be unique within a conversation — the
+    running token sum uses an explicit ROWS frame, so ties would make the
+    clip boundary engine-dependent.
+
+    Semantics via prefix sums: with P(i) the running inclusive token count,
+    preceding turn ``s`` is included for target ``t`` iff
+    ``P(t-1) - P(s-1) <= budget`` — a pure per-row predicate over the
+    running window, no iteration. All JVM-side: one conversation-keyed
+    exchange (both window specs share the (conv, order) sort), then
+    higher-order filter/transform/aggregate over the collected prefix.
+    Memory note: the running ``collect_list`` makes per-conversation cost
+    quadratic in turns (bytes, not shuffle) — fine for transcripts, which
+    are bounded; chunk pathological conversations first.
+
+    Reference analog: none — part of the training-data suite the brief
+    adds (the reference stops at per-log templates).
+    """
+    if context_budget_tokens < 1:
+        raise ValueError(
+            f"context_budget_tokens must be >= 1, got {context_budget_tokens}"
+        )
+    budget = F.lit(int(context_budget_tokens)).cast("long")
+    # Tokenization in its OWN projection (the CSE trap at text.py:42-44).
+    base = turns.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(order_col).alias("_ord"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("_role"),
+        F.col(text_col).alias("_text"),
+    ).withColumn("_ntok", F.size(lower_tokens(F.col("_text"))).cast("long"))
+    w_cum = (
+        Window.partitionBy("_conv")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy("_conv")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = base.withColumn("_pre", F.sum("_ntok").over(w_cum)).withColumn(
+        "_ctx", F.collect_list(F.struct("_ord", "_role", "_text", "_ntok", "_pre")).over(w_prev)
+    )
+    prev_pre = F.col("_pre") - F.col("_ntok")  # P(t-1)
+    # The clipped context array is materialized ONCE as its own attribute —
+    # deriving context/turns/tokens from an inlined filter would re-run the
+    # HOF 3x per row (Catalyst does not CSE higher-order expressions).
+    clipped = staged.filter(F.col("_role") == target_role).select(
+        "_conv",
+        "_ord",
+        "_text",
+        F.filter(
+            F.col("_ctx"), lambda x: (prev_pre - (x["_pre"] - x["_ntok"])) <= budget
+        ).alias("_inc"),
+    )
+    return clipped.select(
+        F.col("_conv").alias(conv_col),
+        F.col("_ord").alias("target_turn_idx"),
+        F.array_join(
+            F.transform(
+                F.col("_inc"),
+                lambda x: F.concat(x["_role"], F.lit(": "), F.coalesce(x["_text"], F.lit(""))),
+            ),
+            "\n",
+        ).alias("context"),
+        F.col("_text").alias("target"),
+        F.size("_inc").cast("long").alias("n_context_turns"),
+        F.aggregate(
+            F.col("_inc"), F.lit(0).cast("long"), lambda a, x: a + x["_ntok"]
+        ).alias("n_context_tokens"),
     )

@@ -146,3 +146,22 @@ def test_cap_per_group_decision_path_is_narrow(spark):
     assert m, plan
     assert "text" not in m.group(1), m.group(1)
     assert "_g" in m.group(1) and "_h" in m.group(1)
+
+
+def test_sft_examples_single_exchange_all_jvm(spark):
+    """The SFT reshape must cost exactly ONE conversation-keyed exchange
+    (both window specs share the (conv, order) sort) and stay entirely
+    JVM-side — no Python in a per-row reshape over 100 TB of transcripts."""
+    import re
+
+    from log_parser_mind_spark.operators.prep import sft_examples
+
+    turns = spark.createDataFrame(
+        [("c%d" % (i % 5), i, "user" if i % 2 else "assistant", "some words here %d" % i)
+         for i in range(40)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(sft_examples(turns, 8))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan

@@ -445,3 +445,67 @@ def test_cap_per_group_matches_python_reference(spark, rows, k, salt):
         for key in sorted(members, key=lambda i: (minstd_py(i, salt), i))[:k]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sft_examples: Spark reshape == pure-Python prefix-sum reference
+# ---------------------------------------------------------------------------
+
+
+def _sft_py(rows, budget):
+    """Reference: per conversation sorted by order, for each assistant turn
+    include preceding turn s iff P(t-1) - P(s-1) <= budget (maximal whole-
+    turn suffix); render 'role: text' newline-joined."""
+    from collections import defaultdict
+
+    convs = defaultdict(list)
+    for conv, order, role, text in rows:
+        convs[conv].append((order, role, text))
+    out = {}
+    for conv, turns in convs.items():
+        turns.sort()
+        ntoks = [len([t for t in (tx or "").lower().split() if t]) for _, _, tx in turns]
+        pre = [0]
+        for n in ntoks:
+            pre.append(pre[-1] + n)
+        for i, (order, role, text) in enumerate(turns):
+            if role != "assistant":
+                continue
+            inc = [
+                j for j in range(i) if pre[i] - pre[j] <= budget
+            ]
+            ctx = "\n".join(
+                f"{turns[j][1] or ''}: {turns[j][2] or ''}" for j in inc
+            )
+            out[(conv, order)] = (
+                ctx, text, len(inc), sum(ntoks[j] for j in inc)
+            )
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 30),
+            st.sampled_from(["user", "assistant", "system"]),
+            st.one_of(st.none(), st.text(alphabet=" abC\n", max_size=30)),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_sft_examples_matches_python_reference(spark, rows, budget):
+    from log_parser_mind_spark.operators.prep import sft_examples
+
+    df = spark.createDataFrame(rows, "conv_id int, turn_idx int, role string, text string")
+    got = {
+        (r.conv_id, r.target_turn_idx): (
+            r.context, r.target, r.n_context_turns, r.n_context_tokens
+        )
+        for r in sft_examples(df, context_budget_tokens=budget).collect()
+    }
+    assert got == _sft_py(rows, budget)

@@ -1273,3 +1273,88 @@ def test_exact_contamination_verbatim_span_and_filter(spark):
         curate.exact_contamination(corpus, bench, n=0)
     with pytest.raises(ValueError, match="min_hits"):
         curate.exact_contamination(corpus, bench, min_hits=0)
+
+
+def test_sft_examples_clipping_and_rendering(spark):
+    """SFT reshape semantics: maximal whole-turn suffix within the budget
+    (an overflowing turn drops with everything older — no gaps), NULL text
+    renders as 'role: ' and counts 0 tokens, first-turn assistant gets an
+    empty context, target rides verbatim, and the result is partitioning-
+    invariant."""
+    from log_parser_mind_spark.operators.prep import sft_examples
+
+    rows = [
+        ("c", 0, "user", "hello there"),      # 2 tokens
+        ("c", 1, "assistant", "hi"),           # 1
+        ("c", 2, "user", "a b c d e"),        # 5
+        ("c", 3, "user", None),                # 0
+        ("c", 4, "assistant", "answer text"),
+        ("d", 0, "assistant", "first"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+    got = {
+        (r.conv_id, r.target_turn_idx): r
+        for r in sft_examples(df, context_budget_tokens=6).collect()
+    }
+    assert set(got) == {("c", 1), ("c", 4), ("d", 0)}
+    r = got[("c", 4)]
+    # suffix walk: t3(0) + t2(5) + t1(1) = 6 <= 6; adding t0 would hit 8
+    assert r.context == "assistant: hi\nuser: a b c d e\nuser: "
+    assert (r.n_context_turns, r.n_context_tokens) == (3, 6)
+    assert r.target == "answer text"
+    assert got[("c", 1)].context == "user: hello there"
+    assert (got[("d", 0)].context, got[("d", 0)].n_context_turns) == ("", 0)
+
+    # whole-turn rule: budget 4 fits t3(0) but t2(5) overflows -> t1/t0 are
+    # ALSO dropped even though t1 alone would fit (context is a contiguous
+    # suffix, never a gapped selection)
+    tight = {
+        (r.conv_id, r.target_turn_idx): r
+        for r in sft_examples(df, context_budget_tokens=4).collect()
+    }
+    r4 = tight[("c", 4)]
+    assert r4.context == "user: " and (r4.n_context_turns, r4.n_context_tokens) == (1, 0)
+
+    # partitioning invariance
+    again = {
+        (r.conv_id, r.target_turn_idx): (r.context, r.n_context_turns, r.n_context_tokens)
+        for r in sft_examples(df.repartition(7), context_budget_tokens=6).collect()
+    }
+    assert again == {
+        k: (v.context, v.n_context_turns, v.n_context_tokens) for k, v in got.items()
+    }
+
+    with pytest.raises(ValueError, match="context_budget_tokens"):
+        sft_examples(df, context_budget_tokens=0)
+
+
+def test_sft_examples_compose_with_packing(spark):
+    """Composition seam: SFT rows flow into pack_corpus through the
+    documented n_tokens hook (context+target whitespace tokens) — every
+    example lands in exactly one (shard, pack) and the grid bound holds."""
+    from log_parser_mind_spark.functions.text import lower_tokens
+    from log_parser_mind_spark.operators.prep import sft_examples
+    from log_parser_mind_spark.operators.sample import pack_corpus
+
+    rows = [
+        (c, i, "assistant" if i % 2 else "user", f"w{i} " * (i % 5 + 1))
+        for c in ("a", "b", "c")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    ex = sft_examples(df, context_budget_tokens=6)
+    n_ex = ex.count()
+    keyed = ex.select(
+        F.abs(F.xxhash64("conv_id", "target_turn_idx")).alias("doc_id"),
+        (F.col("n_context_tokens") + F.size(lower_tokens(F.col("target"))).cast("long")).alias("n_tokens"),
+        F.concat_ws("\n", "context", "target").alias("text"),
+    )
+    packs = pack_corpus(keyed, budget_tokens=16, n_shards=2).collect()
+    assert len(packs) == n_ex and len({r.doc_id for r in packs}) == n_ex
+    agg = {}
+    for r in packs:
+        s, m = agg.get((r.shard, r.pack_id), (0, 0))
+        agg[(r.shard, r.pack_id)] = (s + r.n_tokens, max(m, r.n_tokens))
+    for s, m in agg.values():
+        assert s - m < 16  # budget-grid bound: overflow <= last example
