@@ -2560,8 +2560,18 @@ def q_sft_examples(spark, sf_dir):
     string_agg ORDER BY for the rendering."""
     from log_parser_mind_spark.operators.prep import sft_examples
 
+    return sft_examples(_events_as_turns(spark, sf_dir), context_budget_tokens=8)
+
+
+def _events_as_turns(spark, sf_dir):
+    """events → multi-turn conversation adapter shared by q_sft_examples and
+    q_preference_pairs (conv=user_id, order=event_id, role by event_id%3,
+    text from event_type+props with an event_id%5 tail so token counts and
+    quality scores vary). The oracle SQL `turns` CTEs mirror EXACTLY this —
+    one definition on the Spark side keeps the two queries' derivations from
+    drifting apart while their oracles share the same CTE text."""
     ev = _t(spark, sf_dir, "events")
-    turns = ev.select(
+    return ev.select(
         F.col("user_id").alias("conv_id"),
         F.col("event_id").alias("turn_idx"),
         F.when(F.col("event_id") % 3 == 0, F.lit("assistant"))
@@ -2574,17 +2584,20 @@ def q_sft_examples(spark, sf_dir):
             F.when(F.col("event_id") % 5 == 0, F.lit("extra tail tokens")),
         ).alias("text"),
     )
-    return sft_examples(turns, context_budget_tokens=8)
 
 
-_ORACLE_SFT_EXAMPLES = r"""
-WITH turns AS (
+# The SQL mirror of _events_as_turns — spliced into every oracle that reads
+# the derived conversation table, so the derivation exists once per engine.
+_SQL_EVENTS_AS_TURNS = """
   SELECT user_id AS conv_id, event_id AS turn_idx,
          CASE WHEN event_id % 3 = 0 THEN 'assistant' ELSE 'user' END AS role,
          concat_ws(' ', event_type, props,
                    CASE WHEN event_id % 5 = 0 THEN 'extra tail tokens' END) AS text
   FROM events
-), t AS (
+"""
+
+_ORACLE_SFT_EXAMPLES = rf"""
+WITH turns AS ({_SQL_EVENTS_AS_TURNS}), t AS (
   SELECT *, CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
                                  x -> x <> '')) AS BIGINT) AS ntok
   FROM turns
@@ -2605,6 +2618,72 @@ LEFT JOIN p c
  AND (a.pre - a.ntok) - (c.pre - c.ntok) <= 8
 WHERE a.role = 'assistant'
 GROUP BY a.conv_id, a.turn_idx, a.text
+"""
+
+
+def q_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair construction (prep.preference_pairs):
+    assistant responses grouped ACROSS conversations by the masked template
+    of the immediately preceding user turn (the drain masking pass), scored
+    with the composite quality score, one (chosen, rejected) pair per
+    prompt group under the total (score, conv, turn) order, strict-gap
+    groups only. Spark side is a skew-safe min/max-of-struct groupBy (hot
+    prompt templates combine map-side); the oracle recomputes selection via
+    two row_number() windows over the identical rounded score."""
+    from log_parser_mind_spark.operators.prep import preference_pairs
+
+    return preference_pairs(_events_as_turns(spark, sf_dir))
+
+
+def _oracle_preference_pairs() -> str:
+    stop = ", ".join(repr(w) for w in tx.LANG_STOPWORDS["en"])
+    return rf"""
+WITH turns AS ({_SQL_EVENTS_AS_TURNS}),
+lagged AS (
+  SELECT *, lag(role) OVER w AS prev_role, lag(text) OVER w AS prev_text
+  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+cand AS (
+  SELECT conv_id, turn_idx, text,
+         array_to_string(
+           list_transform(string_split_regex(trim(prev_text), '\s+'),
+                          t -> CASE WHEN regexp_matches(t, '{masking.IS_VARIABLE_PATTERN}')
+                                    THEN '<*>' ELSE t END),
+           ' ') AS prompt_sig
+  FROM lagged WHERE role = 'assistant' AND prev_role = 'user'
+),
+s AS (
+  SELECT conv_id, turn_idx, text, prompt_sig,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS punct,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t IN ({stop}))) AS stop
+  FROM cand
+),
+scored AS (
+  SELECT conv_id, turn_idx, text, prompt_sig,
+         round(0.4 * least(n_tok / 64.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tok > 0 THEN stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+             + 0.3 * (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 4, 1.0)),
+             6) AS score
+  FROM s
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_sig ORDER BY score DESC, conv_id DESC, turn_idx DESC) AS rc,
+         row_number() OVER (PARTITION BY prompt_sig ORDER BY score ASC, conv_id ASC, turn_idx ASC) AS rr,
+         count(*) OVER (PARTITION BY prompt_sig) AS n_candidates
+  FROM scored
+)
+SELECT c.prompt_sig, CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       c.conv_id AS chosen_conv, c.turn_idx AS chosen_turn,
+       c.text AS chosen_text, c.score AS chosen_score,
+       r.conv_id AS rejected_conv, r.turn_idx AS rejected_turn,
+       r.text AS rejected_text, r.score AS rejected_score
+FROM ranked c
+JOIN ranked r ON r.prompt_sig = c.prompt_sig AND r.rr = 1
+WHERE c.rc = 1 AND c.n_candidates >= 2 AND c.score > r.score
 """
 
 
@@ -2826,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "doc_chunks": q_doc_chunks,
         "sft_examples": q_sft_examples,
+        "preference_pairs": q_preference_pairs,
         "corpus_datacard": q_corpus_datacard,
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
@@ -2962,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": _ORACLE_TFIDF_KEYWORDS,
         "doc_chunks": _ORACLE_DOC_CHUNKS,
         "sft_examples": _ORACLE_SFT_EXAMPLES,
+        "preference_pairs": _oracle_preference_pairs(),
         "corpus_datacard": _oracle_corpus_datacard(),
         "semantic_dedup": _golden_sql("semantic_dedup", "vec_id, centroid_id"),
         "quality_classifier": _golden_sql("quality_classifier", "doc_id, y, score"),

@@ -34,9 +34,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.masking import masked_sig_expr, masked_tokens_expr, tokens_expr
 from ..functions.text import lower_tokens, quality_score_from, with_tokens
 
-__all__ = ["tfidf_keywords", "chunk_documents", "corpus_datacard", "sft_examples"]
+__all__ = [
+    "tfidf_keywords",
+    "chunk_documents",
+    "corpus_datacard",
+    "sft_examples",
+    "preference_pairs",
+]
 
 
 def tfidf_keywords(
@@ -320,4 +327,97 @@ def sft_examples(
         F.aggregate(
             F.col("_inc"), F.lit(0).cast("long"), lambda a, x: a + x["_ntok"]
         ).alias("n_context_tokens"),
+    )
+
+
+def preference_pairs(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    min_candidates: int = 2,
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: group assistant responses from
+    ACROSS conversations by the masked template of their immediately
+    preceding user turn (the drain masking pass — two prompts asking the
+    same thing with different literals share a group), score each response
+    with the deterministic composite quality score, and emit one
+    (chosen, rejected) pair per prompt group: chosen = the response with the
+    lexicographically greatest (score, conv, order), rejected = the least.
+    Groups smaller than ``min_candidates`` or without a STRICT score gap
+    (chosen_score > rejected_score) emit nothing — a pair with equal scores
+    carries no preference signal.
+
+    Returns ``(prompt_sig, n_candidates, chosen_conv, chosen_turn,
+    chosen_text, chosen_score, rejected_conv, rejected_turn, rejected_text,
+    rejected_score)``. Scores are rounded to 6dp BEFORE the ordering — the
+    tiebreak must see exactly what the output reports, or two engines could
+    rank near-ties differently. ``(conv, order)`` must be unique and
+    orderable (the standard transcript key), which makes the selection a
+    total order and the output engine/parallelism-independent.
+
+    Scale shape (100 TB): one conversation-keyed exchange for the
+    prev-turn lag, then ONE groupBy(prompt_sig) whose min/max-of-struct
+    aggregates combine map-side — a hot prompt template ("hi") with
+    millions of candidates collapses to one row per partition before the
+    shuffle, where the row_number()-window formulation would buffer the
+    whole hot group in one task. The structs order on (score, conv, order)
+    with text as a trailing NEVER-COMPARED field (the key prefix is unique),
+    so response text rides the aggregation instead of a second self-join.
+
+    Reference analog: none — training-data suite (the reference stops at
+    per-log templates); grouping-by-masked-template is the same canonical
+    signature as drain.go:308-310.
+    """
+    if min_candidates < 2:
+        raise ValueError(f"min_candidates must be >= 2, got {min_candidates}")
+    w = Window.partitionBy("_conv").orderBy("_ord")
+    prev = turns.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(order_col).alias("_ord"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"),
+    ).select(
+        "*",
+        F.lag("_role").over(w).alias("_prev_role"),
+        F.lag("_text").over(w).alias("_prev_text"),
+    )
+    cand = prev.filter(
+        (F.col("_role") == assistant_role) & (F.col("_prev_role") == user_role)
+    ).select(
+        masked_sig_expr(masked_tokens_expr(tokens_expr(F.col("_prev_text")))).alias(
+            "prompt_sig"
+        ),
+        "_conv",
+        "_ord",
+        "_text",
+    )
+    # Tokenize in a separate projection from the score (the CSE trap at
+    # text.py:42-44), round BEFORE aggregating — see the docstring.
+    scored = cand.withColumn("_toks", lower_tokens(F.col("_text"))).withColumn(
+        "_score", F.round(quality_score_from(F.col("_toks"), F.col("_text")), 6)
+    )
+    sel = F.struct("_score", "_conv", "_ord", "_text")
+    g = scored.groupBy("prompt_sig").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(sel).alias("_c"),
+        F.min(sel).alias("_r"),
+    )
+    return g.filter(
+        (F.col("n_candidates") >= min_candidates)
+        & (F.col("_c._score") > F.col("_r._score"))
+    ).select(
+        "prompt_sig",
+        "n_candidates",
+        F.col("_c._conv").alias("chosen_conv"),
+        F.col("_c._ord").alias("chosen_turn"),
+        F.col("_c._text").alias("chosen_text"),
+        F.col("_c._score").alias("chosen_score"),
+        F.col("_r._conv").alias("rejected_conv"),
+        F.col("_r._ord").alias("rejected_turn"),
+        F.col("_r._text").alias("rejected_text"),
+        F.col("_r._score").alias("rejected_score"),
     )

@@ -165,3 +165,31 @@ def test_sft_examples_single_exchange_all_jvm(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in plan
+
+
+def test_preference_pairs_two_exchanges_map_side_combine(spark):
+    """Pair selection must be the skew-safe aggregation shape: exactly TWO
+    exchanges (conversation-keyed lag window, then the prompt-sig groupBy),
+    a partial min/max-of-struct aggregate BEFORE the second exchange (a hot
+    prompt template combines map-side instead of buffering in one window
+    task), and zero Python nodes."""
+    import re
+
+    from log_parser_mind_spark.operators.prep import preference_pairs
+
+    turns = spark.createDataFrame(
+        [("c%d" % (i % 5), i, "user" if i % 2 == 0 else "assistant",
+          "ask %d things" % i if i % 2 == 0 else "answer words %d" % i)
+         for i in range(40)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(preference_pairs(turns))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "partial_max" in plan and "partial_min" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
+    # Exactly ONE Window node — the conversation lag. A second would mean
+    # selection regressed to row_number() over prompt_sig (the hot-group
+    # buffering shape the groupBy formulation exists to avoid).
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan

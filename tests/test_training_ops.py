@@ -1358,3 +1358,81 @@ def test_sft_examples_compose_with_packing(spark):
         agg[(r.shard, r.pack_id)] = (s + r.n_tokens, max(m, r.n_tokens))
     for s, m in agg.values():
         assert s - m < 16  # budget-grid bound: overflow <= last example
+
+
+def test_preference_pairs_selection_semantics(spark):
+    """DPO pair construction: prompts that mask to the same template group
+    across conversations; chosen/rejected by rounded quality score under
+    the total (score, conv, turn) order; singleton and zero-gap groups emit
+    nothing; assistant turns not directly preceded by a user turn never
+    become candidates; result is partitioning-invariant."""
+    from log_parser_mind_spark.operators.prep import preference_pairs
+
+    good = "the answer is that these numbers add to a larger value overall"
+    bad = "!!! ??? !!!"
+    mid = "it is a sum of the values"
+    rows = [
+        # conv a: prompt "add 42 apples" -> masks to "add <*> apples"
+        ("a", 0, "user", "add 42 apples"),
+        ("a", 1, "assistant", good),
+        # conv b: same masked prompt, worse answer
+        ("b", 0, "user", "add 7 apples"),
+        ("b", 1, "assistant", bad),
+        # conv c: same masked prompt, middling answer
+        ("c", 0, "user", "add 99 apples"),
+        ("c", 1, "assistant", mid),
+        # conv d: assistant preceded by assistant -> not a candidate
+        ("d", 0, "assistant", "orphan lead"),
+        ("d", 1, "assistant", "follows assistant"),
+        # conv e: singleton prompt group -> no pair
+        ("e", 0, "user", "completely unique prompt words"),
+        ("e", 1, "assistant", "lonely answer"),
+        # conv f+g: identical prompts AND identical answers -> zero gap
+        ("f", 0, "user", "repeat 5 times"),
+        ("f", 1, "assistant", "same text"),
+        ("g", 0, "user", "repeat 8 times"),
+        ("g", 1, "assistant", "same text"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = preference_pairs(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.prompt_sig == "add <*> apples"
+    assert r.n_candidates == 3
+    assert (r.chosen_conv, r.chosen_text) == ("a", good)
+    assert (r.rejected_conv, r.rejected_text) == ("b", bad)
+    assert r.chosen_score > r.rejected_score
+
+    again = preference_pairs(df.repartition(7)).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_candidates"):
+        preference_pairs(df, min_candidates=1)
+
+
+def test_preference_pairs_tiebreak_total_order(spark):
+    """Equal rounded scores fall back to the lexicographic (conv, turn)
+    tiebreak — chosen takes the greatest, rejected the least — and the
+    strict-gap filter compares the SAME rounded values the output reports."""
+    from log_parser_mind_spark.operators.prep import preference_pairs
+
+    # Same answer text => identical scores; differing third answer gives gap.
+    rows = [
+        ("a", 0, "user", "sum 1 up"),
+        ("a", 1, "assistant", "equal words here"),
+        ("b", 0, "user", "sum 2 up"),
+        ("b", 1, "assistant", "equal words here"),
+        ("c", 0, "user", "sum 3 up"),
+        ("c", 1, "assistant", "!!!"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    r = preference_pairs(df).collect()[0]
+    # Both 'equal words here' rows outscore '!!!'; chosen must be the
+    # greater (conv, turn) among the tied maxima -> conv b.
+    assert r.chosen_conv == "b" and r.rejected_conv == "c"
