@@ -311,6 +311,40 @@ def q_streaming_contamination(spark, sf_dir):
     return spark.read.parquet(f"{root}/out").select("conv_id")
 
 
+def q_streaming_incremental_dedup(spark, sf_dir):
+    """Near-dup admission AT INGESTION (streaming.streaming_index_admission):
+    the increment slice (doc_id % 5 == 0) streamed as 2 micro-batches, each
+    audited by foreachBatch against the SAME prebuilt base index as
+    incremental_dedup (provable k=bands=32 unigram config). Each doc's
+    decision depends only on the static index/base — the per-batch audits
+    compose EXACTLY to the batch audit regardless of chunking, so this
+    query shares incremental_dedup's exhaustive-Jaccard oracle verbatim."""
+    import tempfile
+
+    from log_parser_mind_spark.streaming.stream import streaming_index_admission
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="logmind_sadmit_contract_")
+    inc.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(f"{root}/input")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/input")
+    )
+    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1)
+    q = streaming_index_admission(
+        stream, idx, base, f"{root}/audit", f"{root}/ckpt",
+        threshold=0.7, k=32, bands=32, shingle_n=1,
+    ).start()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{root}/audit")
+        .select(F.col("id").alias("doc_id"), "n_base_dups", "kept")
+    )
+
+
 # ONE gram-identity definition for the batch audit AND the streaming alert
 # oracles (8-grams over the shared ws tokenizer; corpus = documents,
 # blocklist = every 7th doc) — mirroring the engine side, where both paths
@@ -1481,6 +1515,54 @@ SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT cid FROM dirty)
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental crawl-ingestion dedup (dedup.build_minhash_index →
+    dedup_against_index): base corpus = doc_id % 5 != 0 indexed ONCE,
+    increment = doc_id % 5 == 0 admitted per doc with (n_base_dups, kept) —
+    the base is never re-shingled, its text re-read only for candidate ids.
+    Provable-recall config (k=bands=32, unigrams: per-pair miss 0.3³²), so
+    the index path equals the exhaustive increment×base Jaccard the oracle
+    computes. Reuse across successive increments and the parquet round-trip
+    of the index are pytest-covered (test_training_ops)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1)
+    audit = dedup.dedup_against_index(
+        inc, idx, base, threshold=0.7, k=32, bands=32, shingle_n=1
+    )
+    return audit.select(F.col("id").alias("doc_id"), "n_base_dups", "kept")
+
+
+_ORACLE_INCREMENTAL_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s.shingle FROM toks, UNNEST(t) AS s(shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT b.doc_id AS inc_id, a.doc_id AS base_id, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+  GROUP BY 1, 2
+), dups AS (
+  SELECT inc_id, count(*) AS n_dups
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = base_id
+  JOIN sizes sb ON sb.doc_id = inc_id
+  WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.7
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_dups, 0) AS BIGINT) AS n_base_dups,
+       coalesce(n_dups, 0) = 0 AS kept
+FROM documents d LEFT JOIN dups ON dups.inc_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+"""
+
+
 def q_exact_contamination(spark, sf_dir):
     """GPT-3/PaLM-style exact n-gram overlap report (curate.
     exact_contamination) against the same synthetic benchmark as
@@ -1759,6 +1841,39 @@ FROM (
   SELECT doc_id,
          (((((doc_id % 2147483647) * 48271 + 13) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS h
   FROM documents
+)
+"""
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (sample.leakage_safe_split): the
+    MINSTD draw is taken over the near-dup COMPONENT id (closure of the
+    provably-exhaustive verified pair set), so no near-duplicate pair ever
+    straddles a split boundary; singletons draw by their own id, identical
+    to corpus_split at the same salt. Oracle: the recursive-CTE closure
+    (sf0.01 verification device; --py-oracles swaps the union-find at
+    sf0.1) wrapped by the same integer MINSTD band arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_ops.leakage_safe_split(
+        docs,
+        _exhaustive_verified_pairs(docs),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=13,
+    )
+    return out.select("doc_id", "split_key", "split")
+
+
+def _oracle_leakage_safe_split() -> str:
+    return f"""
+WITH comp_map AS ({_oracle_near_dup_components()})
+SELECT doc_id, split_key,
+  CASE WHEN h < 1717986917 THEN 'train'
+       WHEN h < 1932735282 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component_id AS split_key,
+         (((((component_id % 2147483647) * 48271 + 13) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS h
+  FROM comp_map
 )
 """
 
@@ -2563,16 +2678,16 @@ def q_sft_examples(spark, sf_dir):
     return sft_examples(_events_as_turns(spark, sf_dir), context_budget_tokens=8)
 
 
-def _events_as_turns(spark, sf_dir):
-    """events → multi-turn conversation adapter shared by q_sft_examples and
-    q_preference_pairs (conv=user_id, order=event_id, role by event_id%3,
-    text from event_type+props with an event_id%5 tail so token counts and
-    quality scores vary). The oracle SQL `turns` CTEs mirror EXACTLY this —
-    one definition on the Spark side keeps the two queries' derivations from
-    drifting apart while their oracles share the same CTE text."""
-    ev = _t(spark, sf_dir, "events")
+def _turns_from_events(ev, conv=None):
+    """events DataFrame → multi-turn conversation shape (conv=user_id,
+    order=event_id, role by event_id%3, text from event_type+props with an
+    event_id%5 tail so token counts and quality scores vary). The ONE
+    Spark-side definition of the derivation — bench.py and the notch
+    scripts import it too, so a change here reaches every consumer; the
+    oracle SQL mirror is ``_SQL_EVENTS_AS_TURNS``. ``conv`` overrides the
+    conversation-id expression (notch scripts re-key replicas)."""
     return ev.select(
-        F.col("user_id").alias("conv_id"),
+        (F.col("user_id") if conv is None else conv).alias("conv_id"),
         F.col("event_id").alias("turn_idx"),
         F.when(F.col("event_id") % 3 == 0, F.lit("assistant"))
         .otherwise(F.lit("user"))
@@ -2584,6 +2699,12 @@ def _events_as_turns(spark, sf_dir):
             F.when(F.col("event_id") % 5 == 0, F.lit("extra tail tokens")),
         ).alias("text"),
     )
+
+
+def _events_as_turns(spark, sf_dir):
+    """Adapter shared by q_sft_examples and q_preference_pairs — reads the
+    events table and applies ``_turns_from_events``."""
+    return _turns_from_events(_t(spark, sf_dir, "events"))
 
 
 # The SQL mirror of _events_as_turns — spliced into every oracle that reads
@@ -2653,8 +2774,11 @@ cand AS (
   FROM lagged WHERE role = 'assistant' AND prev_role = 'user'
 ),
 s AS (
+  -- n_tok filters '' like Spark's lower_tokens (blank text -> 0 tokens,
+  -- not ['']) — the same convention _ORACLE_SFT_EXAMPLES' ntok pins.
   SELECT conv_id, turn_idx, text, prompt_sig,
-         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS n_tok,
          length(text) AS n_chars,
          len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS punct,
          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -2886,6 +3010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "asof_enrich": q_asof_enrich,
         "decontaminated_corpus": q_decontaminated_corpus,
+        "incremental_dedup": q_incremental_dedup,
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
         "exact_contamination": q_exact_contamination,
         "source_capped": q_source_capped,
         "boilerplate_stripped": q_boilerplate_stripped,
@@ -2893,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "global_shuffle": q_global_shuffle,
         "corpus_split": q_corpus_split,
+        "leakage_safe_split": q_leakage_safe_split,
         "length_profile": q_length_profile,
         "near_dup_components": q_near_dup_components,
         "top_ngrams": q_top_ngrams,
@@ -3023,6 +3150,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "asof_enrich": _ORACLE_ASOF_ENRICH,
         "decontaminated_corpus": _ORACLE_DECONTAMINATED,
+        "incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
+        "streaming_incremental_dedup": _ORACLE_INCREMENTAL_DEDUP,
         "exact_contamination": _ORACLE_EXACT_CONTAMINATION,
         "source_capped": _ORACLE_SOURCE_CAPPED,
         "boilerplate_stripped": _ORACLE_BOILERPLATE,
@@ -3033,6 +3162,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selected": _ORACLE_DSIR_SELECTED,
         "global_shuffle": _ORACLE_GLOBAL_SHUFFLE,
         "corpus_split": _ORACLE_CORPUS_SPLIT,
+        "leakage_safe_split": _oracle_leakage_safe_split(),
         "length_profile": _ORACLE_LENGTH_PROFILE,
         "near_dup_components": _oracle_near_dup_components(),
         "top_ngrams": _ORACLE_TOP_NGRAMS,

@@ -153,25 +153,47 @@ def main() -> None:
     # exchange + JVM HOF context clip). Same events-derived conversation
     # fixture as the contract query. New entry — compare per-query across
     # rounds.
+    from __spark_entry__ import _turns_from_events
     from log_parser_mind_spark.operators.prep import sft_examples
 
-    sft_turns = ev.select(
-        F.col("user_id").alias("conv_id"),
-        F.col("event_id").alias("turn_idx"),
-        F.when(F.col("event_id") % 3 == 0, F.lit("assistant"))
-        .otherwise(F.lit("user"))
-        .alias("role"),
-        F.concat_ws(
-            " ",
-            F.col("event_type"),
-            F.col("props"),
-            F.when(F.col("event_id") % 5 == 0, F.lit("extra tail tokens")),
-        ).alias("text"),
-    )
+    sft_turns = _turns_from_events(ev)
     timed(
         "sft_examples",
         lambda: _noop(sft_examples(sft_turns, context_budget_tokens=8)),
     )
+
+    # r5 seventh wave: DPO pair selection over the same derived conversation
+    # table (skew-safe min/max-of-struct groupBy), and incremental index
+    # dedup — the index build is the amortized once-per-corpus cost, the
+    # admission pass is the recurring per-crawl cost (scale config
+    # k=32/bands=16/3-gram shingles, same as dedup_minhash). New entries —
+    # compare per-query across rounds.
+    from log_parser_mind_spark.operators.prep import preference_pairs
+
+    timed("preference_pairs", lambda: _noop(preference_pairs(sft_turns)))
+
+    import shutil as _sh
+    import tempfile as _tf
+
+    inc_base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc_new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_dir = _tf.mkdtemp(prefix="logmind_idx_")
+    try:
+        timed(
+            "minhash_index_build",
+            lambda: dedup.build_minhash_index(inc_base, k=32, bands=16)
+            .write.mode("overwrite")
+            .parquet(f"{idx_dir}/idx"),
+        )
+        stored_idx = spark.read.parquet(f"{idx_dir}/idx")
+        timed(
+            "incremental_dedup",
+            lambda: _noop(
+                dedup.dedup_against_index(inc_new, stored_idx, inc_base, k=32, bands=16)
+            ),
+        )
+    finally:
+        _sh.rmtree(idx_dir, ignore_errors=True)
 
     timed(
         "error_rates_events",

@@ -36,21 +36,11 @@ MOD = 1_000_003
 
 
 def _turns(ev, conv):
-    from pyspark.sql import functions as F
+    # ONE derivation repo-wide — the contract queries, bench.py, and the
+    # notch scripts all go through __spark_entry__._turns_from_events.
+    from __spark_entry__ import _turns_from_events
 
-    return ev.select(
-        conv.alias("conv_id"),
-        F.col("event_id").alias("turn_idx"),
-        F.when(F.col("event_id") % 3 == 0, F.lit("assistant"))
-        .otherwise(F.lit("user"))
-        .alias("role"),
-        F.concat_ws(
-            " ",
-            F.col("event_type"),
-            F.col("props"),
-            F.when(F.col("event_id") % 5 == 0, F.lit("extra tail tokens")),
-        ).alias("text"),
-    )
+    return _turns_from_events(ev, conv=conv)
 
 
 def _hashed(examples):

@@ -410,6 +410,68 @@ def embedding_near_dups(
     return out.distinct() if bands > 1 else out
 
 
+def _verify_candidate_pairs(
+    left_docs: DataFrame,
+    right_docs: DataFrame,
+    cand: DataFrame,
+    left_key: str,
+    right_key: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    small_side: str,
+) -> DataFrame:
+    """The LSH→exact-verify stage shared by ``cross_corpus_near_dups`` and
+    ``incremental_near_dups``: exact Jaccard over candidate pairs only.
+    Each side's distinct shingles are restricted to its candidate ids
+    BEFORE the shingle equi-join (broadcast semi-joins — candidate id
+    lists are small by construction), per-doc sizes derive from those
+    candidate-restricted tables (a second full-corpus shingle explode
+    would double the dominant cost at 100 TB), and the ``small_side``'s
+    per-doc size table is broadcast — blocklists and crawl increments are
+    small; the corpus side never is."""
+    if small_side not in ("left", "right"):
+        raise ValueError(f"small_side must be 'left' or 'right', got {small_side!r}")
+
+    def sh(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(shingles_expr(F.col(text_col), shingle_n))
+            ).alias("shingle"),
+        )
+
+    l_ids = cand.select(left_key).distinct()
+    r_ids = cand.select(right_key).distinct()
+    lsh_t = sh(left_docs, left_key).join(F.broadcast(l_ids), left_key, "left_semi")
+    rsh_t = sh(right_docs, right_key).join(F.broadcast(r_ids), right_key, "left_semi")
+    inter = (
+        lsh_t.join(rsh_t, "shingle")
+        .groupBy(left_key, right_key)
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(cand, [left_key, right_key], "left_semi")
+    )
+    sa = lsh_t.groupBy(left_key).agg(F.count(F.lit(1)).alias("sa"))
+    sb = rsh_t.groupBy(right_key).agg(F.count(F.lit(1)).alias("sb"))
+    if small_side == "left":
+        sa = F.broadcast(sa)
+    else:
+        sb = F.broadcast(sb)
+    return (
+        inter.join(sa, left_key)
+        .join(sb, right_key)
+        .select(
+            left_key,
+            right_key,
+            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def cross_corpus_near_dups(
     corpus: DataFrame,
     blocklist: DataFrame,
@@ -427,9 +489,10 @@ def cross_corpus_near_dups(
     Same LSH→exact-verify composition as the in-corpus path, but the band
     join is strictly CORPUS × BLOCKLIST — corpus-internal duplicates are
     someone else's job (``minhash_lsh_candidates``) and never inflate the
-    buckets here. The verify joins each side's candidate-restricted distinct
-    shingles; blocklist-side tables (candidate ids, shingle sizes) are
-    broadcast — a blocklist is benchmarks, not a second corpus."""
+    buckets here. The verify stage (``_verify_candidate_pairs``) joins each
+    side's candidate-restricted distinct shingles; blocklist-side tables
+    (candidate ids, shingle sizes) are broadcast — a blocklist is
+    benchmarks, not a second corpus."""
     cb = minhash_banded(corpus, id_col, text_col, k, bands, shingle_n)
     bb = minhash_banded(blocklist, id_col, text_col, k, bands, shingle_n)
     cand = (
@@ -438,40 +501,9 @@ def cross_corpus_near_dups(
         .select(F.col("c.id").alias("corpus_id"), F.col("b.id").alias("block_id"))
         .distinct()
     )
-
-    def sh(df, out_id):
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(
-                F.array_distinct(shingles_expr(F.col(text_col), shingle_n))
-            ).alias("shingle"),
-        )
-
-    c_ids = cand.select("corpus_id").distinct()
-    b_ids = cand.select("block_id").distinct()
-    csh = sh(corpus, "corpus_id").join(F.broadcast(c_ids), "corpus_id", "left_semi")
-    bsh = sh(blocklist, "block_id").join(F.broadcast(b_ids), "block_id", "left_semi")
-    inter = (
-        csh.join(bsh, "shingle")
-        .groupBy("corpus_id", "block_id")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .join(cand, ["corpus_id", "block_id"], "left_semi")
-    )
-    # Sizes from the CANDIDATE-RESTRICTED shingle tables (already distinct
-    # per doc): only candidate docs' sizes are ever consumed, and deriving
-    # them from csh/bsh avoids a second full-corpus shingle explode — the
-    # dominant cost at 100 TB would otherwise double.
-    sa = csh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("sa"))
-    sb = bsh.groupBy("block_id").agg(F.count(F.lit(1)).alias("sb"))
-    return (
-        inter.join(sa, "corpus_id")
-        .join(F.broadcast(sb), "block_id")
-        .select(
-            "corpus_id",
-            "block_id",
-            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _verify_candidate_pairs(
+        corpus, blocklist, cand, "corpus_id", "block_id",
+        id_col, text_col, shingle_n, threshold, small_side="right",
     )
 
 
@@ -626,3 +658,155 @@ def semantic_dedup(
     out = assigned.join(drops, id_col, "left_anti").select(id_col, "centroid_id")
     out.assignments = assigned  # unpersist handle — see the persist note
     return out
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistable MinHash LSH band index over a corpus: (id, band_idx,
+    band_hash, mh_k, mh_bands, mh_n). THE incremental-ingestion primitive at
+    100 TB — the full corpus is shingled and hashed exactly ONCE, the index
+    (bands × 16 bytes per doc, ~thousandths of the corpus size) is written
+    to a table, and every future crawl increment joins against it without
+    touching base text (see ``incremental_near_dups``). The three config
+    columns pin the hash geometry; they are constant, so parquet RLE stores
+    them for free, and the increment path REFUSES an index whose geometry
+    differs from its own — a k/bands/shingle mismatch would silently produce
+    zero collisions instead of an error."""
+    banded = minhash_banded(docs, id_col, text_col, k, bands, shingle_n)
+    return banded.select(
+        "id",
+        "band_idx",
+        "band_hash",
+        F.lit(int(k)).alias("mh_k"),
+        F.lit(int(bands)).alias("mh_bands"),
+        F.lit(int(shingle_n)).alias("mh_n"),
+    )
+
+
+def _index_config(index: DataFrame) -> tuple[int, int, int] | None:
+    """Read the geometry columns off one index row (None for an EMPTY index
+    — vacuously compatible). One tiny driver-side action per increment run,
+    same class as the miner's max-leaf scalar."""
+    row = index.select("mh_k", "mh_bands", "mh_n").first()
+    return None if row is None else (row.mh_k, row.mh_bands, row.mh_n)
+
+
+def incremental_near_dups(
+    increment: DataFrame,
+    index: DataFrame,
+    base_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(inc_id, base_id, jaccard) for every increment doc within
+    ``threshold`` shingle-Jaccard of a doc already in the indexed base
+    corpus — WITHOUT re-hashing the base. The realistic crawl-ingestion
+    shape: the base corpus was indexed once (``build_minhash_index``); per
+    increment, only the increment is shingled, its band table is BROADCAST
+    against the big stored index (the increment is small by definition;
+    broadcasting the index side would ship the whole corpus's bands to
+    every task), and exact-Jaccard verification re-reads base TEXT only for
+    the candidate ids — a semi-join point lookup on the base table, never a
+    scan. Increment-internal duplicates are deliberately out of scope
+    (``minhash_lsh_candidates`` on the increment alone — it is small).
+
+    An alternative pure-index design stores the k minhash values and
+    verifies by signature-agreement fraction, never touching base text; it
+    trades a k×8-byte-per-doc bigger index and an ESTIMATED jaccard (±1/√k)
+    for zero base reads. This implementation keeps verification exact —
+    candidate sets are tiny, and exactness is what the oracle can attest.
+
+    Raises ValueError if the index geometry columns disagree with
+    (k, bands, shingle_n)."""
+    cfg = _index_config(index)
+    if cfg is not None and cfg != (k, bands, shingle_n):
+        raise ValueError(
+            f"index geometry {cfg} != requested (k={k}, bands={bands}, "
+            f"shingle_n={shingle_n}); rebuild the index or match its config"
+        )
+    inc_bands = minhash_banded(increment, id_col, text_col, k, bands, shingle_n)
+    cand = (
+        index.alias("x")
+        .join(F.broadcast(inc_bands.alias("i")), ["band_idx", "band_hash"])
+        .select(F.col("i.id").alias("inc_id"), F.col("x.id").alias("base_id"))
+        .distinct()
+    )
+    # Verify via the shared stage; base text is touched only inside it,
+    # pruned to candidate ids before the shingle explode — the point-lookup
+    # read, not a corpus scan. small_side="left": here the INCREMENT's
+    # per-doc tables broadcast (the mirror of cross_corpus_near_dups).
+    return _verify_candidate_pairs(
+        increment, base_docs, cand, "inc_id", "base_id",
+        id_col, text_col, shingle_n, threshold, small_side="left",
+    )
+
+
+def dedup_against_index(
+    increment: DataFrame,
+    index: DataFrame,
+    base_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-increment admission audit: (id, n_base_dups, kept) for every
+    increment doc — kept=false iff it is a verified near-dup of ANY indexed
+    base doc. Returns the decision TABLE rather than the filtered frame:
+    the assignment is the auditable artifact (same contract as
+    sample.split_corpus), and the filtered corpus is one
+    ``filter(kept)`` away."""
+    pairs = incremental_near_dups(
+        increment, index, base_docs, id_col, text_col, threshold, k, bands, shingle_n
+    )
+    counts = pairs.groupBy("inc_id").agg(F.count(F.lit(1)).alias("n_base_dups"))
+    return (
+        increment.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(counts), F.col("id") == F.col("inc_id"), "left")
+        .select(
+            "id",
+            F.coalesce("n_base_dups", F.lit(0)).cast("long").alias("n_base_dups"),
+            (F.coalesce("n_base_dups", F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+def extend_minhash_index(
+    index: DataFrame,
+    admitted_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index MAINTENANCE — the step that closes the incremental-ingestion
+    loop: after a crawl's survivors are admitted into the corpus, fold their
+    band rows into the index so the NEXT crawl dedups against them too.
+    Geometry is read from the index itself (the stored columns are the
+    source of truth; callers cannot accidentally hash the new docs with a
+    different config), and the result is a pure union — append-friendly for
+    a parquet/Iceberg-backed index table: in practice write ONLY the
+    ``build_minhash_index(admitted, ...)`` delta with mode=append.
+
+    Raises on an empty index: there is no geometry to inherit, and silently
+    picking defaults would fork the index's hash space."""
+    cfg = _index_config(index)
+    if cfg is None:
+        raise ValueError(
+            "cannot extend an EMPTY index (no geometry to inherit); "
+            "build_minhash_index the first corpus slice instead"
+        )
+    k, bands, shingle_n = cfg
+    return index.unionByName(
+        build_minhash_index(admitted_docs, id_col, text_col, k, bands, shingle_n)
+    )

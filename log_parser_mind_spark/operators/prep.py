@@ -396,9 +396,10 @@ def preference_pairs(
         "_text",
     )
     # Tokenize in a separate projection from the score (the CSE trap at
-    # text.py:42-44), round BEFORE aggregating — see the docstring.
+    # text.py:42-44). quality_score_from rounds to 6dp internally, so the
+    # ordering already sees exactly what the output reports.
     scored = cand.withColumn("_toks", lower_tokens(F.col("_text"))).withColumn(
-        "_score", F.round(quality_score_from(F.col("_toks"), F.col("_text")), 6)
+        "_score", quality_score_from(F.col("_toks"), F.col("_text"))
     )
     sel = F.struct("_score", "_conv", "_ord", "_text")
     g = scored.groupBy("prompt_sig").agg(

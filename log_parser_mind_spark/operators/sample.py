@@ -261,6 +261,52 @@ def split_corpus(
     return docs.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Train/val/test split that can never leak a near-duplicate across the
+    boundary: the MINSTD draw is taken over the doc's near-dup COMPONENT id
+    (transitive closure of ``pairs`` via ``dedup.connected_components``),
+    so every member of a duplicate cluster lands in the SAME split — the
+    standard eval-integrity requirement a per-doc split silently violates
+    (train/test contamination through paraphrase chains survives even
+    after in-split dedup). Docs in no pair split by their own key,
+    identical to ``split_corpus`` — adding pairs only ever MERGES draw
+    keys, it never reshuffles singletons.
+
+    ``pairs`` is any verified near-dup pair table over the same key space
+    (minhash/simhash/embedding — caller's choice of strategy and
+    threshold). Returns docs + ``split_key`` (the component id, the
+    auditable grouping) + ``split``. Same key contract as the MINSTD
+    family: keys non-null, castable to long.
+
+    Scale shape: components cost O(diameter) bounded label-prop rounds over
+    the PAIR table (≪ corpus); the assignment join back to docs is one
+    equi-join on the key, and the components table (one row per paired doc,
+    dup clusters only) is typically broadcastable — Catalyst decides from
+    its size estimate, and the split itself stays a per-row predicate
+    (scan-pushed, no extra exchange)."""
+    from .dedup import connected_components
+
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    keyed = docs.join(
+        comps.select(
+            F.col("doc_id").alias("_lss_id"), F.col("component_id").alias("_lss_comp")
+        ),
+        F.col(key_col) == F.col("_lss_id"),
+        "left",
+    ).withColumn("split_key", F.coalesce("_lss_comp", F.col(key_col).cast("long")))
+    out = split_corpus(keyed, fractions, key_col="split_key", salt=salt)
+    return out.drop("_lss_id", "_lss_comp")
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,

@@ -349,3 +349,57 @@ def streaming_contamination_alerts(
             .select(id_col)
         )
     return hits.select(id_col).dropDuplicates([id_col])
+
+
+def streaming_index_admission(
+    docs_stream: DataFrame,
+    index: DataFrame,
+    base_docs: DataFrame,
+    audit_path: str,
+    checkpoint_location: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+):
+    """Near-dup admission AT INGESTION against a prebuilt MinHash index
+    (``dedup.build_minhash_index``): every micro-batch of crawled documents
+    is audited with ``dedup_against_index`` and its (id, n_base_dups, kept)
+    decisions land in ``audit_path`` — the streaming half of the
+    incremental-ingestion loop (batch half: ``incremental_dedup``; index
+    maintenance: ``extend_minhash_index``).
+
+    Composes EXACTLY: each doc's decision depends only on the STATIC
+    index/base, never on other streamed docs, so the union of per-batch
+    audits equals the one-shot batch audit no matter how ingestion is
+    chunked — asserted by the contract query against the same oracle.
+    (Intra-stream near-dups are deliberately not deduped here — that is
+    ``streaming_exact_dedup``'s state-store job for exact copies, and the
+    batch LSH self-join for fuzzy ones after admission.)
+
+    The audit is the aggregation of a micro-batch (shingle explode →
+    groupBy) — a shape Structured Streaming cannot run as one continuous
+    query without watermark gymnastics, and which needs TWO joins against
+    static tables; foreachBatch is the designed tool. Exactly-once: each
+    batch OVERWRITES its own ``batch=<id>`` subdirectory, so a post-write
+    pre-commit crash replays idempotently (the standard idempotent
+    foreachBatch pattern; same crash-window reasoning as the Iceberg
+    resume path).
+
+    Returns the DataStreamWriter (availableNow trigger) — caller calls
+    ``.start()`` and awaits."""
+    from ..operators.dedup import dedup_against_index
+
+    def _admit(batch_df, batch_id):
+        audit = dedup_against_index(
+            batch_df, index, base_docs, id_col, text_col, threshold, k, bands, shingle_n
+        )
+        audit.write.mode("overwrite").parquet(f"{audit_path}/batch={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+    )

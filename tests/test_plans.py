@@ -193,3 +193,33 @@ def test_preference_pairs_two_exchanges_map_side_combine(spark):
     # selection regressed to row_number() over prompt_sig (the hot-group
     # buffering shape the groupBy formulation exists to avoid).
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_incremental_index_broadcasts_increment_side(spark):
+    """The band join against the stored index must BROADCAST the increment
+    side (the small per-crawl batch) — a shuffle join would repartition the
+    whole stored index every run, and broadcasting the INDEX side would ship
+    the corpus's bands to every task. Also: no CartesianProduct anywhere."""
+    from log_parser_mind_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        [(i, "w%d x%d y%d" % (i, i + 1, i + 2)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(100 + i, "w%d x%d y%d" % (i, i + 1, i + 2)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    idx = dedup.build_minhash_index(base, k=8, bands=8, shingle_n=1)
+    plan = _plan(dedup.incremental_near_dups(inc, idx, base, k=8, bands=8, shingle_n=1))
+    assert "CartesianProduct" not in plan
+    import re
+
+    # Formatted explain separates tree lines from detail blocks; the band
+    # join's detail block must be a BroadcastHashJoin keyed on band columns.
+    blocks = re.findall(r"\(\d+\) BroadcastHashJoin[^\n]*\n(.*?)(?:\n\n|\Z)", plan, re.S)
+    assert any("band_idx" in b for b in blocks), plan
+    # And no SortMergeJoin keyed on the band columns (the orientation the
+    # broadcast exists to avoid).
+    smj = re.findall(r"\(\d+\) SortMergeJoin[^\n]*\n(.*?)(?:\n\n|\Z)", plan, re.S)
+    assert not any("band_idx" in b for b in smj), plan

@@ -320,3 +320,37 @@ def test_cap_per_group_key_shared_across_groups(spark):
         r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert per_group == {"a": 3, "b": 3}
+
+
+def test_leakage_safe_split_pairs_never_straddle(spark):
+    """The eval-integrity property: every pair (and its transitive chain)
+    lands in ONE split; docs outside any pair split exactly as
+    split_corpus; output stays exhaustive + disjoint over keyable rows."""
+    from log_parser_mind_spark.operators.sample import leakage_safe_split, split_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # chains and cliques crossing would-be split boundaries
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 150), (3, 9), (20, 21), (21, 22), (22, 23), (100, 199)],
+        "id_a long, id_b long",
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, pairs, fr, salt=13)
+    got = {r.doc_id: (r.split_key, r.split) for r in out.collect()}
+    assert len(got) == 200
+    for a, b in [(0, 7), (7, 150), (3, 9), (20, 21), (21, 22), (22, 23), (100, 199)]:
+        assert got[a] == got[b], (a, b, got[a], got[b])
+    # chain 20-21-22-23 is ONE component keyed by its min id
+    assert got[20][0] == 20 and got[23][0] == 20
+    base = {r.doc_id: r.split for r in split_corpus(docs, fr, salt=13).collect()}
+    paired = {0, 7, 150, 3, 9, 20, 21, 22, 23, 100, 199}
+    for d in set(got) - paired:
+        assert got[d] == (d, base[d]), d
+    # component members draw by the component ROOT's band
+    assert got[7][1] == base[0] and got[199][1] == base[100]
+
+    again = {r.doc_id: (r.split_key, r.split)
+             for r in leakage_safe_split(docs.repartition(7), pairs, fr, salt=13).collect()}
+    assert again == got

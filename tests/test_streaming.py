@@ -450,3 +450,58 @@ def test_streaming_contamination_alerts_converge_to_batch_audit(spark, tmp_path)
     assert sorted(
         r.conv_id for r in spark.read.parquet(wm_out).collect()
     ) == ["c1", "c3"]
+
+
+def test_streaming_index_admission_converges_to_batch(spark, tmp_path):
+    """Per-batch foreachBatch admission against a static prebuilt index
+    composes EXACTLY to the one-shot batch audit regardless of how the
+    crawl is chunked (each decision depends only on the index/base), and
+    the batch=<id> overwrite layout keeps replays idempotent."""
+    from pyspark.sql import functions as F
+
+    from log_parser_mind_spark.operators import dedup
+    from log_parser_mind_spark.streaming.stream import streaming_index_admission
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+         (3, "iota kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    inc_rows = [
+        (100, "alpha beta gamma delta"),   # dup of 1
+        (101, "fresh words one"),
+        (102, "epsilon zeta eta theta"),   # dup of 2
+        (103, "fresh words two"),
+        (104, "iota kappa lambda mu"),     # dup of 3
+        (105, "fresh words three"),
+    ]
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    in_path = str(tmp_path / "in")
+    # 3 range files -> 3 micro-batches at maxFilesPerTrigger=1
+    inc.repartitionByRange(3, "doc_id").write.parquet(in_path)
+
+    cfg = dict(threshold=0.7, k=32, bands=32, shingle_n=1)
+    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+    audit_path, ck = str(tmp_path / "audit"), str(tmp_path / "ck")
+    q = streaming_index_admission(stream, idx, base, audit_path, ck, **cfg).start()
+    assert q.awaitTermination(180), "admission query did not finish in time"
+
+    got = {
+        r.id: (r.n_base_dups, r.kept)
+        for r in spark.read.parquet(audit_path).select("id", "n_base_dups", "kept").collect()
+    }
+    want = {
+        r.id: (r.n_base_dups, r.kept)
+        for r in dedup.dedup_against_index(inc, idx, base, **cfg).collect()
+    }
+    assert got == want
+    assert {i for i, (_, kept) in got.items() if kept} == {101, 103, 105}
+    # chunked into >1 micro-batch (the composition actually exercised)
+    n_batches = spark.read.parquet(audit_path).select("batch").distinct().count()
+    assert n_batches >= 2, n_batches

@@ -1436,3 +1436,104 @@ def test_preference_pairs_tiebreak_total_order(spark):
     # Both 'equal words here' rows outscore '!!!'; chosen must be the
     # greater (conv, turn) among the tied maxima -> conv b.
     assert r.chosen_conv == "b" and r.rejected_conv == "c"
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_index_reuse_roundtrip_and_guard(spark, tmp_path):
+    """The incremental-ingestion contract: the index is built ONCE from the
+    base corpus, survives a parquet round-trip, admits two successive
+    increments with results identical to the from-scratch cross-corpus
+    path, refuses a geometry mismatch, and an empty index admits
+    everything."""
+    base = _mk_docs(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+        (3, "iota kappa lambda mu"),
+    ])
+    inc1 = _mk_docs(spark, [
+        (100, "alpha beta gamma delta"),      # exact dup of 1 -> dropped
+        (101, "totally new words here"),       # novel -> kept
+    ])
+    inc2 = _mk_docs(spark, [
+        (200, "epsilon zeta eta theta"),       # dup of 2 -> dropped
+        (201, "alpha beta gamma delta"),       # dup of 1 -> dropped
+        (202, "other fresh content entirely"), # novel -> kept
+    ])
+    cfg = dict(k=32, bands=32, shingle_n=1, threshold=0.7)
+    p = str(tmp_path / "idx")
+    dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1).write.parquet(p)
+    idx = spark.read.parquet(p)
+
+    for inc in (inc1, inc2):
+        audit = {r.id: (r.n_base_dups, r.kept)
+                 for r in dedup.dedup_against_index(inc, idx, base, **cfg).collect()}
+        scratch = dedup.cross_corpus_near_dups(
+            inc, base, threshold=0.7, k=32, bands=32, shingle_n=1
+        )
+        dup_ids = {r.corpus_id for r in scratch.collect()}
+        for r_id, (n, kept) in audit.items():
+            assert kept == (r_id not in dup_ids)
+    a1 = {r.id: r.kept for r in dedup.dedup_against_index(inc1, idx, base, **cfg).collect()}
+    assert a1 == {100: False, 101: True}
+    a2 = {r.id: r.kept for r in dedup.dedup_against_index(inc2, idx, base, **cfg).collect()}
+    assert a2 == {200: False, 201: False, 202: True}
+
+    with pytest.raises(ValueError, match="geometry"):
+        dedup.incremental_near_dups(inc1, idx, base, k=16, bands=8, shingle_n=1).count()
+
+    empty_idx = dedup.build_minhash_index(base.limit(0), k=32, bands=32, shingle_n=1)
+    ae = {r.id: r.kept for r in dedup.dedup_against_index(inc1, empty_idx, base, **cfg).collect()}
+    assert ae == {100: True, 101: True}
+
+
+def test_incremental_index_near_dup_threshold(spark):
+    """Near (not exact) duplicates cross the index too: 4/5 shared unigrams
+    = Jaccard 0.667 < 0.7 stays, 5/6 = 0.714 >= 0.7 drops — the exact-verify
+    stage decides, not the band collision."""
+    base = _mk_docs(spark, [(1, "a b c d e f")])          # 6 distinct shingles
+    inc = _mk_docs(spark, [
+        (10, "a b c d e g"),   # inter 5, union 7 -> 0.714... >= 0.7 drop
+        (11, "a b c d x y"),   # inter 4, union 8 -> 0.5 keep
+    ])
+    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1)
+    got = {r.id: r.kept for r in dedup.dedup_against_index(
+        inc, idx, base, threshold=0.7, k=32, bands=32, shingle_n=1).collect()}
+    assert got == {10: False, 11: True}
+
+
+def test_extend_minhash_index_catches_prior_increment(spark):
+    """Index maintenance closes the loop: after inc1's survivors are folded
+    in (geometry inherited FROM the index), a doc in inc2 that near-dups an
+    inc1-admitted doc is caught — the original index alone would admit it.
+    Extending an empty index raises (no geometry to inherit)."""
+    base = _mk_docs(spark, [(1, "alpha beta gamma delta")])
+    inc1 = _mk_docs(spark, [
+        (100, "alpha beta gamma delta"),    # dup of base -> dropped
+        (101, "totally new words here"),     # novel -> admitted
+    ])
+    inc2 = _mk_docs(spark, [
+        (200, "totally new words here"),     # dup of ADMITTED 101
+        (201, "yet another fresh doc"),
+    ])
+    cfg = dict(k=32, bands=32, shingle_n=1, threshold=0.7)
+    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1)
+
+    a1 = {r.id: r.kept for r in dedup.dedup_against_index(inc1, idx, base, **cfg).collect()}
+    assert a1 == {100: False, 101: True}
+    admitted = inc1.filter(F.col("doc_id") == 101)
+
+    # Without maintenance, 200 sails through.
+    stale = {r.id: r.kept for r in dedup.dedup_against_index(inc2, idx, base, **cfg).collect()}
+    assert stale == {200: True, 201: True}
+
+    idx2 = dedup.extend_minhash_index(idx, admitted)
+    base2 = base.unionByName(admitted)
+    fresh = {r.id: r.kept for r in dedup.dedup_against_index(inc2, idx2, base2, **cfg).collect()}
+    assert fresh == {200: False, 201: True}
+
+    empty = dedup.build_minhash_index(base.limit(0), k=32, bands=32, shingle_n=1)
+    with pytest.raises(ValueError, match="EMPTY index"):
+        dedup.extend_minhash_index(empty, admitted)

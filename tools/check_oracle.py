@@ -77,8 +77,30 @@ def _py_oracle_near_dup_components(con: "duckdb.DuckDBPyConnection") -> pd.DataF
     )
 
 
+def _py_oracle_leakage_safe_split(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame:
+    """leakage_safe_split = union-find components (above) + the MINSTD band
+    arithmetic of _ORACLE_CORPUS_SPLIT over the component id — the same
+    composition the SQL oracle expresses, minus the quadratic closure."""
+    comp = _py_oracle_near_dup_components(con)
+    k = comp["component_id"].astype("int64") % 2147483647
+    h = (((k * 48271 + 13) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647
+    split = pd.Series("test", index=comp.index)
+    split[h < 1932735282] = "val"
+    split[h < 1717986917] = "train"
+    return pd.DataFrame(
+        {
+            "doc_id": comp["doc_id"],
+            "split_key": comp["component_id"],
+            "split": split,
+        }
+    )
+
+
 # query name → fn(duckdb_con) -> DataFrame; used only under --py-oracles.
-PY_ORACLES = {"near_dup_components": _py_oracle_near_dup_components}
+PY_ORACLES = {
+    "near_dup_components": _py_oracle_near_dup_components,
+    "leakage_safe_split": _py_oracle_leakage_safe_split,
+}
 
 
 def main() -> int:
