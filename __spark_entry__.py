@@ -333,7 +333,10 @@ def q_streaming_incremental_dedup(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{root}/input")
     )
-    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1)
+    # persist: every micro-batch re-reads the index (geometry probe + band
+    # join) — unpersisted, the base MinHash pass would run ~2× per batch.
+    # Production stores the index as a table; this is the in-query analog.
+    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1).persist()
     q = streaming_index_admission(
         stream, idx, base, f"{root}/audit", f"{root}/ckpt",
         threshold=0.7, k=32, bands=32, shingle_n=1,
@@ -1527,7 +1530,11 @@ def q_incremental_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 5 != 0)
     inc = docs.filter(F.col("doc_id") % 5 == 0)
-    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1)
+    # persist: the index is consumed twice (the geometry probe's .first()
+    # and the band join) — unpersisted, the full base MinHash pass would
+    # run twice. In production the index is a parquet/Iceberg TABLE (see
+    # bench.py / the pytest round-trip) and this cost is paid once ever.
+    idx = dedup.build_minhash_index(base, k=32, bands=32, shingle_n=1).persist()
     audit = dedup.dedup_against_index(
         inc, idx, base, threshold=0.7, k=32, bands=32, shingle_n=1
     )
@@ -2756,10 +2763,15 @@ def q_preference_pairs(spark, sf_dir):
     return preference_pairs(_events_as_turns(spark, sf_dir))
 
 
-def _oracle_preference_pairs() -> str:
+def _sql_scored_candidates() -> str:
+    """The shared CTE chain (turns → lag → masked-prompt candidates →
+    rounded quality score) behind BOTH selection oracles
+    (preference_pairs, best_responses) — one SQL definition mirroring the
+    ONE Spark definition (prep._scored_response_candidates), so the two
+    oracles cannot drift on what a candidate or its score is."""
     stop = ", ".join(repr(w) for w in tx.LANG_STOPWORDS["en"])
     return rf"""
-WITH turns AS ({_SQL_EVENTS_AS_TURNS}),
+turns AS ({_SQL_EVENTS_AS_TURNS}),
 lagged AS (
   SELECT *, lag(role) OVER w AS prev_role, lag(text) OVER w AS prev_text
   FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
@@ -2792,7 +2804,12 @@ scored AS (
              + 0.3 * (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 4, 1.0)),
              6) AS score
   FROM s
-),
+)"""
+
+
+def _oracle_preference_pairs() -> str:
+    return f"""
+WITH {_sql_scored_candidates()},
 ranked AS (
   SELECT *,
          row_number() OVER (PARTITION BY prompt_sig ORDER BY score DESC, conv_id DESC, turn_idx DESC) AS rc,
@@ -2808,6 +2825,80 @@ SELECT c.prompt_sig, CAST(c.n_candidates AS BIGINT) AS n_candidates,
 FROM ranked c
 JOIN ranked r ON r.prompt_sig = c.prompt_sig AND r.rr = 1
 WHERE c.rc = 1 AND c.n_candidates >= 2 AND c.score > r.score
+"""
+
+
+def q_best_responses(spark, sf_dir):
+    """Rejection sampling / best-of-n (prep.best_of_n): top-3 assistant
+    responses per masked prompt template by quality score, rank by
+    (score DESC, conv ASC, turn ASC) — the ascending tiebreak
+    top_per_group's window-free selection implements (bounded local prune
+    + bounded global aggregate; only the ≤3 winners per group enter the
+    ranking window). Shares preference_pairs' candidate/score definitions
+    on both engines (_scored_response_candidates / _sql_scored_candidates)."""
+    from log_parser_mind_spark.operators.prep import best_of_n
+
+    return best_of_n(_events_as_turns(spark, sf_dir), n=3)
+
+
+def _oracle_best_responses() -> str:
+    return f"""
+WITH {_sql_scored_candidates()}
+SELECT prompt_sig,
+       row_number() OVER (PARTITION BY prompt_sig
+                          ORDER BY score DESC, conv_id ASC, turn_idx ASC) AS rank,
+       conv_id AS conv, turn_idx AS turn, text, score
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q_budget_selected(spark, sf_dir):
+    """Quality-greedy selection under a global token budget
+    (sample.select_within_token_budget): keep the maximal
+    (quality DESC, doc_id ASC) prefix whose inclusive running token sum
+    fits 12,000 tokens. The ORACLE is the textbook global running-sum
+    window; the operator never runs one — per-quality-value mass histogram
+    (constant-bounded by the 6dp domain), two driver scalars, a pure
+    per-row predicate for every non-boundary doc, and an id-ordered window
+    over ONLY the single boundary value's slice. Equality proves the
+    decomposition."""
+    from log_parser_mind_spark.operators.sample import select_within_token_budget
+
+    docs = tx.with_tokens(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        tx.quality_score_from(F.col("tokens"), F.col("text")).alias("quality"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+    return select_within_token_budget(scored, budget_tokens=12_000)
+
+
+def _oracle_budget_selected() -> str:
+    stop = ", ".join(repr(w) for w in tx.LANG_STOPWORDS["en"])
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tok,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS punct,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t IN ({stop}))) AS stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(n_tok / 64.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tok > 0 THEN stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+             + 0.3 * (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 4, 1.0)),
+             6) AS quality,
+         CAST(n_tok AS BIGINT) AS tokens
+  FROM s
+)
+SELECT doc_id, quality, tokens,
+       sum(tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) <= 12000 AS kept
+FROM q
 """
 
 
@@ -3033,6 +3124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "sft_examples": q_sft_examples,
         "preference_pairs": q_preference_pairs,
+        "best_responses": q_best_responses,
+        "budget_selected": q_budget_selected,
         "corpus_datacard": q_corpus_datacard,
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
@@ -3173,6 +3266,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _ORACLE_DOC_CHUNKS,
         "sft_examples": _ORACLE_SFT_EXAMPLES,
         "preference_pairs": _oracle_preference_pairs(),
+        "best_responses": _oracle_best_responses(),
+        "budget_selected": _oracle_budget_selected(),
         "corpus_datacard": _oracle_corpus_datacard(),
         "semantic_dedup": _golden_sql("semantic_dedup", "vec_id, centroid_id"),
         "quality_classifier": _golden_sql("quality_classifier", "doc_id, y, score"),

@@ -195,6 +195,22 @@ def main() -> None:
     finally:
         _sh.rmtree(idx_dir, ignore_errors=True)
 
+    # r5 eighth wave: quality-greedy token-budget selection (value
+    # histogram + scalar boundary + boundary-slice window — no global
+    # sort). New entry — compare per-query across rounds.
+    from log_parser_mind_spark.functions import text as _tx
+    from log_parser_mind_spark.operators.sample import select_within_token_budget
+
+    def _budget_select():
+        scored = _tx.with_tokens(docs).select(
+            "doc_id",
+            _tx.quality_score_from(F.col("tokens"), F.col("text")).alias("quality"),
+            F.size("tokens").cast("long").alias("n_tokens"),
+        )
+        _noop(select_within_token_budget(scored, budget_tokens=120_000))
+
+    timed("budget_select", _budget_select)
+
     timed(
         "error_rates_events",
         lambda: _noop(

@@ -43,6 +43,7 @@ __all__ = [
     "corpus_datacard",
     "sft_examples",
     "preference_pairs",
+    "best_of_n",
 ]
 
 
@@ -374,6 +375,47 @@ def preference_pairs(
     """
     if min_candidates < 2:
         raise ValueError(f"min_candidates must be >= 2, got {min_candidates}")
+    scored = _scored_response_candidates(
+        turns, conv_col, order_col, role_col, text_col, user_role, assistant_role
+    )
+    sel = F.struct("_score", "_conv", "_ord", "_text")
+    g = scored.groupBy("prompt_sig").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(sel).alias("_c"),
+        F.min(sel).alias("_r"),
+    )
+    return g.filter(
+        (F.col("n_candidates") >= min_candidates)
+        & (F.col("_c._score") > F.col("_r._score"))
+    ).select(
+        "prompt_sig",
+        "n_candidates",
+        F.col("_c._conv").alias("chosen_conv"),
+        F.col("_c._ord").alias("chosen_turn"),
+        F.col("_c._text").alias("chosen_text"),
+        F.col("_c._score").alias("chosen_score"),
+        F.col("_r._conv").alias("rejected_conv"),
+        F.col("_r._ord").alias("rejected_turn"),
+        F.col("_r._text").alias("rejected_text"),
+        F.col("_r._score").alias("rejected_score"),
+    )
+
+
+def _scored_response_candidates(
+    turns: DataFrame,
+    conv_col: str,
+    order_col: str,
+    role_col: str,
+    text_col: str,
+    user_role: str,
+    assistant_role: str,
+) -> DataFrame:
+    """Shared candidate stage for ``preference_pairs`` and ``best_of_n``:
+    assistant turns directly preceded by a user turn, keyed by the masked
+    template of that prompt, scored by the composite quality score
+    (rounded 6dp inside ``quality_score_from`` — ordering sees exactly
+    what the output reports). ONE definition so the two selection ops can
+    never disagree on what a candidate or its score is."""
     w = Window.partitionBy("_conv").orderBy("_ord")
     prev = turns.select(
         F.col(conv_col).alias("_conv"),
@@ -396,29 +438,64 @@ def preference_pairs(
         "_text",
     )
     # Tokenize in a separate projection from the score (the CSE trap at
-    # text.py:42-44). quality_score_from rounds to 6dp internally, so the
-    # ordering already sees exactly what the output reports.
-    scored = cand.withColumn("_toks", lower_tokens(F.col("_text"))).withColumn(
+    # text.py:42-44).
+    return cand.withColumn("_toks", lower_tokens(F.col("_text"))).withColumn(
         "_score", quality_score_from(F.col("_toks"), F.col("_text"))
     )
-    sel = F.struct("_score", "_conv", "_ord", "_text")
-    g = scored.groupBy("prompt_sig").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.max(sel).alias("_c"),
-        F.min(sel).alias("_r"),
+
+
+def best_of_n(
+    turns: DataFrame,
+    n: int = 1,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Rejection sampling / best-of-n selection: the top ``n`` assistant
+    responses per masked prompt template by quality score — the harvesting
+    complement of ``preference_pairs`` (same candidate stage, same score,
+    same total (score, conv, order) order), keeping the winners instead of
+    contrasting extremes. Groups smaller than ``n`` survive whole; there is
+    no gap requirement (a lone candidate is still the best sample for its
+    prompt).
+
+    Returns ``(prompt_sig, rank, conv, turn, text, score)``, rank 1..n by
+    (score DESC, conv ASC, order ASC) — ties prefer the EARLIER transcript,
+    the exact order ``top_per_group``'s ascending key tiebreak implements,
+    so selection and ranking can never disagree at the rank-n boundary.
+    (preference_pairs' chosen side prefers the LATER transcript on ties —
+    a max-of-struct is descending in every field; both are total orders,
+    each pinned by its oracle.) Selection never runs a row_number window
+    over the prompt group (a viral prompt = a hot key):
+    ``sample.top_per_group``'s bounded local-prune + bounded global
+    aggregate picks the winners, and only the ≤ n kept rows per group —
+    bounded by construction — enter the ranking window.
+
+    Reference analog: none — training-data suite; the selection core is
+    shared with cap_per_group (sample.py).
+    """
+    from .sample import top_per_group
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    scored = _scored_response_candidates(
+        turns, conv_col, order_col, role_col, text_col, user_role, assistant_role
     )
-    return g.filter(
-        (F.col("n_candidates") >= min_candidates)
-        & (F.col("_c._score") > F.col("_r._score"))
-    ).select(
+    kept = top_per_group(
+        scored, n, group_col="prompt_sig", order_col="_score",
+        key_cols=("_conv", "_ord"), ascending=False,
+    )
+    w = Window.partitionBy("prompt_sig").orderBy(
+        F.desc("_score"), F.asc("_conv"), F.asc("_ord")
+    )
+    return kept.select(
         "prompt_sig",
-        "n_candidates",
-        F.col("_c._conv").alias("chosen_conv"),
-        F.col("_c._ord").alias("chosen_turn"),
-        F.col("_c._text").alias("chosen_text"),
-        F.col("_c._score").alias("chosen_score"),
-        F.col("_r._conv").alias("rejected_conv"),
-        F.col("_r._ord").alias("rejected_turn"),
-        F.col("_r._text").alias("rejected_text"),
-        F.col("_r._score").alias("rejected_score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("_conv").alias("conv"),
+        F.col("_ord").alias("turn"),
+        F.col("_text").alias("text"),
+        F.col("_score").alias("score"),
     )

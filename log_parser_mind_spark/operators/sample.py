@@ -307,6 +307,116 @@ def leakage_safe_split(
     return out.drop("_lss_id", "_lss_comp")
 
 
+def select_within_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-greedy corpus selection under a global token budget: order
+    docs by (quality DESC, id ASC) and keep every doc whose INCLUSIVE
+    running token sum fits ``budget_tokens`` — the prefix rule (the first
+    overflowing doc and everything after it drop; no skip-and-continue
+    knapsack, which would make the decision depend on unbounded lookahead).
+    Returns ``(id, quality, tokens, kept)`` — the auditable decision table
+    (same contract as split_corpus/dedup_against_index).
+
+    Scale shape — deliberately NOT ``sum(tokens) over (order by quality)``:
+    a global running-sum window is a single totally-ordered partition, the
+    one shape that cannot scale. Instead quality is rounded to 6dp (the
+    repo-wide score convention — at most 1,000,001 distinct values, a
+    CONSTANT independent of corpus size), so:
+
+      1. one groupBy(quality value) aggregates per-value token mass — the
+         shuffle is bounded by the value count, with map-side combine;
+      2. the running mass over the VALUE table runs in one task over ≤ 1e6
+         rows (constant work, never corpus-sized), and the single BOUNDARY
+         value — the one whose cumulative mass crosses the budget — comes
+         back as ONE driver scalar (the same scalar-action class as the
+         miner's max-leaf and Lloyd's centroids);
+      3. every non-boundary doc is decided by the pure per-row predicate
+         ``quality > boundary`` — scan-pushed, zero shuffles, the corpus
+         never repartitions;
+      4. only the boundary value's docs (one quality slice, filter-pushed
+         to the scan) order by id through a running-sum window to spend
+         the residual budget. A degenerate corpus where most mass shares
+         ONE score re-creates the global window on that slice — real
+         scores spread; if yours collapses, bucket finer upstream.
+
+    Cross-engine determinism: quality and the budget comparison are exact
+    (token counts are integers; the running sum is integer); ties inside
+    the boundary value resolve by ``id_col`` ASC (non-null, unique).
+    Rows with a NULL quality or NULL token count are EXCLUDED from the
+    decision table (a NULL score is a scoring bug upstream — same contract
+    as top_per_group; without the explicit filter they would silently
+    match NEITHER branch's quality comparison and vanish only when a
+    boundary exists). NaN quality is likewise out of contract (Spark
+    orders NaN above every double — it would spend the budget first).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    budget = F.lit(int(budget_tokens)).cast("long")
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        F.round(F.col(quality_col), 6).alias("_q"),
+        F.col(tokens_col).cast("long").alias("_t"),
+    ).filter(F.col("_q").isNotNull() & F.col("_t").isNotNull())
+    per_q = d.groupBy("_q").agg(F.sum("_t").alias("_mass"))
+    # Running mass over the ≤1e6-row VALUE table: the single-partition sort
+    # here is constant-bounded by the 6dp domain, not by the corpus.
+    w_q = (
+        Window.orderBy(F.desc("_q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_q = per_q.withColumn("_cum", F.sum("_mass").over(w_q))
+    # TWO scalars in ONE driver action: the smallest fully-fitting value
+    # (kept-threshold) and the single boundary value — the one whose
+    # half-open cumulative interval [before, cum) contains the budget.
+    # `before <= budget` (not <): when the budget lands EXACTLY on a value
+    # edge, the next value still needs the window — its zero-token docs
+    # have inclusive cum == budget and must keep under the prefix rule.
+    # Exactly one positive-mass interval contains the budget, so max over
+    # the predicate is safe.
+    is_bnd = (F.col("_cum") - F.col("_mass") <= budget) & (F.col("_cum") > budget)
+    agg = cum_q.select(
+        F.min(F.when(F.col("_cum") <= budget, F.col("_q"))).alias("fit_q"),
+        F.max(F.when(is_bnd, F.col("_q"))).alias("b_q"),
+        F.max(F.when(is_bnd, F.col("_cum") - F.col("_mass"))).alias("b_before"),
+    ).first()
+    base_kept = (
+        F.col("_q") >= F.lit(float(agg.fit_q))
+        if agg.fit_q is not None
+        else F.lit(False)
+    )
+    out_cols = (
+        F.col("_id").alias(id_col),
+        F.col("_q").alias("quality"),
+        F.col("_t").alias("tokens"),
+    )
+    if agg.b_q is None:
+        return d.select(*out_cols, base_kept.alias("kept"))
+    clear = d.filter(F.col("_q") != F.lit(float(agg.b_q))).select(
+        *out_cols, base_kept.alias("kept")
+    )
+    w_id = (
+        Window.partitionBy("_q")
+        .orderBy(F.asc("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    on_boundary = (
+        d.filter(F.col("_q") == F.lit(float(agg.b_q)))
+        .withColumn("_run", F.sum("_t").over(w_id))
+        .select(
+            *out_cols,
+            (
+                (F.lit(int(agg.b_before)).cast("long") + F.col("_run")) <= budget
+            ).alias("kept"),
+        )
+    )
+    return clear.unionByName(on_boundary)
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,
@@ -469,6 +579,33 @@ def cap_per_group(
         F.col(key_col).alias("_k"),
         _minstd(key_col, salt).alias("_h"),
     )
+    kept = _k_smallest_per_group(decision, k)
+    # eqNullSafe on the group: the NULL group's kept keys must match back
+    # (plain = would drop every NULL-group row here). Key alone is NOT
+    # enough — one key value kept under group A must not smuggle its group-B
+    # twin past B's cap.
+    return df.join(
+        kept,
+        df[group_col].eqNullSafe(kept["_g"]) & (df[key_col] == kept["_k"]),
+        "left_semi",
+    )
+
+
+def _k_smallest_per_group(
+    decision: DataFrame, k: int, key_cols: tuple[str, ...] = ("_k",)
+) -> DataFrame:
+    """The window-free exact per-group top-k core shared by
+    ``cap_per_group`` and ``top_per_group``: given a NARROW decision table
+    (_g group, ``key_cols`` scalar key columns, _h order value — non-null,
+    non-NaN), return each group's k smallest (_h, *key_cols) rows as
+    (_g, *key_cols). A bounded Arrow local prune keeps each input
+    partition's k best per group (a pre-filter can never evict a global
+    top-k row, so the prune is exact), then the global stage aggregates
+    ≤ k × n_partitions rows per group — bounded regardless of skew, where
+    ``row_number() over (partition by group)`` would buffer a hot group on
+    one reducer. Key columns must be SCALARS (pandas sorts them in the
+    prune; struct keys arrive as unsortable dicts) and the (_h, *keys)
+    tuple must be unique per group for the order to be total."""
 
     def _local_prune(batches):
         import pandas as pd
@@ -476,7 +613,7 @@ def cap_per_group(
         carry = None
         for pdf in batches:
             both = pdf if carry is None else pd.concat([carry, pdf], ignore_index=True)
-            both = both.sort_values(["_h", "_k"], kind="mergesort")
+            both = both.sort_values(["_h", *key_cols], kind="mergesort")
             # dropna=False: the NULL group is a real group, same as the
             # global stage's groupBy and the SQL oracle's PARTITION BY.
             carry = both.groupby("_g", dropna=False, sort=False).head(k)
@@ -484,26 +621,60 @@ def cap_per_group(
             yield carry
 
     pruned = decision.mapInPandas(_local_prune, schema=decision.schema)
-    kept = (
+    struct_fields = [F.col("_h").alias("_h")] + [F.col(c).alias(c) for c in key_cols]
+    return (
         pruned.groupBy("_g")
         .agg(
             F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_k").alias("k")))
-                ),
+                F.array_sort(F.collect_list(F.struct(*struct_fields))),
                 1,
                 int(k),
             ).alias("_top")
         )
         .select("_g", F.explode("_top").alias("_t"))
-        .select("_g", F.col("_t.k").alias("_keep_key"))
+        .select("_g", *[F.col(f"_t.{c}").alias(c) for c in key_cols])
     )
-    # eqNullSafe on the group: the NULL group's kept keys must match back
-    # (plain = would drop every NULL-group row here). Key alone is NOT
-    # enough — one key value kept under group A must not smuggle its group-B
-    # twin past B's cap.
-    return df.join(
-        kept,
-        df[group_col].eqNullSafe(kept["_g"]) & (df[key_col] == kept["_keep_key"]),
-        "left_semi",
+
+
+def top_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    order_col: str,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep each group's k BEST rows by ``order_col`` (score, perplexity,
+    recency ...) — ``cap_per_group``'s machinery with a data-driven order
+    instead of the uniform MINSTD draw: same narrow (group, keys, order)
+    decision path, same bounded local-prune + bounded global aggregate,
+    never a row_number window over the group (the hot-group reducer trap).
+    Ties break on ``key_cols`` ASCENDING (lexicographic), making selection
+    a total order — deterministic at any parallelism, and mirrorable in
+    SQL as ``ORDER BY order DESC, key1 ASC, key2 ASC``.
+    ``ascending=False`` (default) keeps the k LARGEST order values
+    (best-of-n by score); True keeps the smallest (e.g. lowest
+    perplexity).
+
+    Order values must be non-null and non-NaN (NaN has no total order
+    across engines — pandas sorts it last, Spark first; a NULL/NaN score
+    is a scoring bug upstream, filter or impute it there). ``key_cols``
+    must be scalar, non-null, and unique per group; string keys compare
+    bytewise in Spark/DuckDB vs codepoint-wise in the pandas prune —
+    identical for ASCII keys, so keep keys ASCII or numeric.
+
+    Reference analog: none — training-data suite (rejection-sampling /
+    best-of-n selection)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = F.col(order_col).cast("double")
+    decision = df.select(
+        F.col(group_col).alias("_g"),
+        *[F.col(c) for c in key_cols],
+        (order if ascending else -order).alias("_h"),
     )
+    kept = _k_smallest_per_group(decision, k, tuple(key_cols))
+    cond = df[group_col].eqNullSafe(kept["_g"])
+    for c in key_cols:
+        cond = cond & (df[c] == kept[c])
+    return df.join(kept, cond, "left_semi")

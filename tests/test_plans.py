@@ -223,3 +223,26 @@ def test_incremental_index_broadcasts_increment_side(spark):
     # broadcast exists to avoid).
     smj = re.findall(r"\(\d+\) SortMergeJoin[^\n]*\n(.*?)(?:\n\n|\Z)", plan, re.S)
     assert not any("band_idx" in b for b in smj), plan
+
+
+def test_budget_selection_corpus_never_globally_sorts(spark):
+    """select_within_token_budget's RESULT plan must contain no global
+    (unpartitioned) running-sum window over the corpus — the value-table
+    window runs inside the scalar pre-pass, and the only Window left is
+    the boundary slice's, partitioned by the quality value. The clear
+    branch is scan+filter+project: its kept decision is a pure predicate."""
+    import re
+
+    from log_parser_mind_spark.operators.sample import select_within_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, [0.2, 0.5, 0.9][i % 3], 5 + i % 7) for i in range(90)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    plan = _plan(select_within_token_budget(docs, 100))
+    wins = re.findall(r"\(\d+\) Window[^\n]*\n(.*?)(?:\n\n|\Z)", plan, re.S)
+    assert len(wins) == 1, plan
+    # partitioned by the quality value — not the empty global partition
+    assert "_q" in wins[0], wins[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, plan

@@ -354,3 +354,98 @@ def test_leakage_safe_split_pairs_never_straddle(spark):
     again = {r.doc_id: (r.split_key, r.split)
              for r in leakage_safe_split(docs.repartition(7), pairs, fr, salt=13).collect()}
     assert again == got
+
+
+def test_top_per_group_semantics_and_invariance(spark):
+    """Window-free best-k per group: keeps the k largest order values with
+    ascending key tiebreak (mirrorable as ORDER BY v DESC, key ASC), whole
+    groups when smaller than k, the NULL group as a real group, ascending
+    mode for smallest-first, and the same rows at any partitioning."""
+    from log_parser_mind_spark.operators.sample import top_per_group
+
+    rows = [
+        # group a: clear top-2 = ids 3 (9.0) and 1 (7.0)
+        ("a", 1, 7.0), ("a", 2, 5.0), ("a", 3, 9.0),
+        # group b: boundary tie at 4.0 -> ascending key keeps id 10 over 11
+        ("b", 9, 6.0), ("b", 10, 4.0), ("b", 11, 4.0),
+        # singleton group survives whole
+        ("c", 20, 1.0),
+        # NULL group is a real group
+        (None, 30, 2.0), (None, 31, 3.0), (None, 32, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, doc_id long, v double")
+    kept = {(r.g, r.doc_id) for r in
+            top_per_group(df, 2, group_col="g", order_col="v").collect()}
+    assert kept == {("a", 3), ("a", 1), ("b", 9), ("b", 10), ("c", 20),
+                    (None, 32), (None, 31)}
+
+    low = {(r.g, r.doc_id) for r in
+           top_per_group(df, 1, group_col="g", order_col="v", ascending=True).collect()}
+    assert low == {("a", 2), ("b", 10), ("c", 20), (None, 30)}
+
+    again = {(r.g, r.doc_id) for r in
+             top_per_group(df.repartition(7), 2, group_col="g", order_col="v").collect()}
+    assert again == kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        top_per_group(df, 0, group_col="g", order_col="v")
+
+
+def test_select_within_token_budget_matches_prefix_rule(spark):
+    """The scalable decomposition (value histogram + scalar boundary +
+    boundary-only window) must equal the textbook global prefix rule on
+    random corpora, including exact-edge budgets, zero and huge budgets,
+    zero-token docs, and repartitioning."""
+    import random
+
+    from log_parser_mind_spark.operators.sample import select_within_token_budget
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.choice([0.1, 0.25, 0.25, 0.5, 0.5, 0.5, 0.9]), 6),
+         rng.choice([0, 1, 3, 10, 25]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+
+    def prefix_rule(budget):
+        out, cum = {}, 0
+        for i, q, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += t
+            out[i] = cum <= budget
+        return out
+
+    total = sum(t for _, _, t in rows)
+    # include an exact value-edge budget: cumulative mass of the top value
+    top_mass = sum(t for _, q, t in rows if q == 0.9)
+    for budget in (0, 17, top_mass, total // 3, total, total + 5):
+        got = {r.doc_id: r.kept for r in
+               select_within_token_budget(df, budget).collect()}
+        assert got == prefix_rule(budget), f"budget={budget}"
+
+    got = {r.doc_id: r.kept for r in
+           select_within_token_budget(df.repartition(9), 17).collect()}
+    assert got == prefix_rule(17)
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        select_within_token_budget(df, -1)
+
+
+def test_select_within_token_budget_null_rows_excluded(spark):
+    """NULL quality/tokens rows are excluded from the decision table in
+    BOTH the boundary and no-boundary paths (without the explicit filter
+    they'd silently match neither quality branch and vanish only when a
+    boundary exists — inconsistent exhaustiveness)."""
+    from log_parser_mind_spark.operators.sample import select_within_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, None, 10), (3, 0.5, None), (4, 0.5, 8)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    for budget in (12, 10_000):  # boundary at 0.5 / no boundary
+        got = {r.doc_id: r.kept for r in
+               select_within_token_budget(df, budget).collect()}
+        assert set(got) == {1, 4}, (budget, got)
+        assert all(v is not None for v in got.values())

@@ -1537,3 +1537,39 @@ def test_extend_minhash_index_catches_prior_increment(spark):
     empty = dedup.build_minhash_index(base.limit(0), k=32, bands=32, shingle_n=1)
     with pytest.raises(ValueError, match="EMPTY index"):
         dedup.extend_minhash_index(empty, admitted)
+
+
+def test_best_of_n_selection_and_boundary_ties(spark):
+    """best-of-n: top-n per masked prompt by score with the (score DESC,
+    conv ASC, turn ASC) total order — a tie AT the rank-n boundary keeps
+    the earlier transcript (exactly what top_per_group's ascending key
+    tiebreak implements); groups smaller than n survive whole; no strict
+    gap requirement (singleton groups emit their lone winner)."""
+    from log_parser_mind_spark.operators.prep import best_of_n
+
+    rows = [
+        ("a", 0, "user", "add 1 items"), ("a", 1, "assistant", "same answer text"),
+        ("b", 0, "user", "add 2 items"), ("b", 1, "assistant", "same answer text"),
+        ("c", 0, "user", "add 3 items"), ("c", 1, "assistant", "same answer text"),
+        ("d", 0, "user", "add 4 items"), ("d", 1, "assistant", "!!!"),
+        ("e", 0, "user", "solo prompt here"), ("e", 1, "assistant", "alone"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = [(r.prompt_sig, r.rank, r.conv) for r in
+           best_of_n(df, n=2).orderBy("prompt_sig", "rank").collect()]
+    # three tied top scores: ascending conv keeps a then b; d ("!!!") never ranks
+    assert got == [
+        ("add <*> items", 1, "a"),
+        ("add <*> items", 2, "b"),
+        ("solo prompt here", 1, "e"),
+    ]
+
+    whole = best_of_n(df, n=10)
+    assert whole.filter(F.col("prompt_sig") == "add <*> items").count() == 4
+
+    again = [(r.prompt_sig, r.rank, r.conv) for r in
+             best_of_n(df.repartition(5), n=2).orderBy("prompt_sig", "rank").collect()]
+    assert again == got
+
+    with pytest.raises(ValueError, match="n must be"):
+        best_of_n(df, n=0)
