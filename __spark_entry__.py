@@ -2902,6 +2902,147 @@ FROM q
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup survivor selection (curate.near_dup_keep_best):
+    the provably-exhaustive verified pair set clustered into components,
+    each component keeping its BEST doc by the composite quality score
+    (ties: min id) — the SlimPajama refinement of the funnel's
+    keep-smallest rule. Winner selection via top_per_group (window-free);
+    oracle = closure CTE + quality CTE + row_number (sf0.01 device;
+    --py-oracles swaps the union-find at sf0.1)."""
+    from log_parser_mind_spark.operators.curate import near_dup_keep_best
+
+    docs = tx.with_tokens(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        tx.quality_score_from(F.col("tokens"), F.col("text")).alias("quality"),
+    )
+    pairs = _exhaustive_verified_pairs(_t(spark, sf_dir, "documents"))
+    return near_dup_keep_best(scored, pairs, "quality")
+
+
+def _oracle_quality_filtered() -> str:
+    """(doc_id, quality) over documents with the EMPTY-TOKEN-FILTERED
+    count (mirrors lower_tokens on blank text) — shared by the keep-best
+    SQL oracle below AND check_oracle's union-find py-oracle, so the two
+    verification paths cannot disagree on a score."""
+    stop = ", ".join(repr(w) for w in tx.LANG_STOPWORDS["en"])
+    return rf"""
+SELECT doc_id,
+       round(0.4 * least(n_tok / 64.0, 1.0)
+           + 0.3 * least(CASE WHEN n_tok > 0 THEN stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+           + 0.3 * (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 4, 1.0)),
+           6) AS quality
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_tok,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS punct,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t IN ({stop}))) AS stop
+  FROM documents
+)
+"""
+
+
+def _oracle_dedup_keep_best() -> str:
+    return f"""
+WITH comp_map AS ({_oracle_near_dup_components()}),
+q AS ({_oracle_quality_filtered()}),
+ranked AS (
+  SELECT c.doc_id, c.component_id, q.quality AS score,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM comp_map c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT doc_id, component_id, score, rn = 1 AS kept FROM ranked
+"""
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-weighted source sampling (sample.temperature_mixture):
+    per-source keep fraction ∝ token-mass^0.5 scaled to an 8,000-token
+    budget (clamped at 1, rounded 6dp), decided per row by the suite's
+    MINSTD draw. Oracle re-derives masses, the √-share, fractions, and
+    every draw in SQL."""
+    from log_parser_mind_spark.operators.sample import temperature_mixture
+
+    docs = tx.with_tokens(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "source", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    out = temperature_mixture(scored, alpha=0.5, target_tokens=8_000, salt=3)
+    return out.select("doc_id", "keep_fraction", "kept")
+
+
+_ORACLE_TEMPERATURE_MIX = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+m AS (SELECT source, sum(n_tok) AS mass FROM t GROUP BY source),
+d AS (SELECT sum(pow(CAST(mass AS DOUBLE), 0.5)) AS denom FROM m),
+f AS (
+  SELECT source,
+         round(least(1.0,
+               8000 * pow(CAST(mass AS DOUBLE), 0.5) / denom / mass), 6) AS keep_fraction
+  FROM m, d
+)
+SELECT t.doc_id, f.keep_fraction,
+       (((((t.doc_id % 2147483647) * 48271 + 3) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647)
+         < floor(f.keep_fraction * 2147483647.0) AS kept
+FROM t JOIN f USING (source)
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Dataset versioning audit (curate.corpus_diff): old = documents,
+    new = a deterministic edit (every 13th doc removed, every remaining
+    10th doc's text revised, every 17th re-added under a new id). The
+    Spark side joins 16-byte (id, xxhash64) pairs; the oracle compares
+    text equality directly — identical up to a 2⁻⁶⁴ hash collision, the
+    trust every hash-keyed dedup pass here already places in xxhash64."""
+    from log_parser_mind_spark.operators.curate import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, new)
+
+
+_ORACLE_SNAPSHOT_DIFF = r"""
+WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' [v2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+"""
+
+
 def q_corpus_datacard(spark, sf_dir):
     """ROLLUP corpus datacard (prep.corpus_datacard): per-(lang, source)
     doc/token/char mass + mean quality, with lang subtotals and a grand
@@ -3126,6 +3267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "best_responses": q_best_responses,
         "budget_selected": q_budget_selected,
+        "dedup_keep_best": q_dedup_keep_best,
+        "temperature_mix": q_temperature_mix,
+        "snapshot_diff": q_snapshot_diff,
         "corpus_datacard": q_corpus_datacard,
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
@@ -3268,6 +3412,9 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": _oracle_preference_pairs(),
         "best_responses": _oracle_best_responses(),
         "budget_selected": _oracle_budget_selected(),
+        "dedup_keep_best": _oracle_dedup_keep_best(),
+        "temperature_mix": _ORACLE_TEMPERATURE_MIX,
+        "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "corpus_datacard": _oracle_corpus_datacard(),
         "semantic_dedup": _golden_sql("semantic_dedup", "vec_id, centroid_id"),
         "quality_classifier": _golden_sql("quality_classifier", "doc_id, y, score"),

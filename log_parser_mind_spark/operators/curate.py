@@ -913,3 +913,110 @@ def ngram_lm_scores(
         .drop("_id")
         .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
     )
+
+
+def near_dup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection (the SlimPajama refinement
+    of the funnel's keep-smallest rule): cluster ``pairs`` into transitive
+    components, then keep each component's BEST doc by ``score_col``
+    (ties: min id) instead of its smallest id — when a paraphrase cluster
+    mixes a clean original with mangled mirrors, the clean one survives.
+    Docs in no pair are their own component and always keep.
+
+    Returns the auditable decision table ``(id, component_id, score,
+    kept)`` — exactly one kept=true per component. Scores must be non-null
+    / non-NaN (the ``top_per_group`` contract; score upstream). The result
+    carries ``.mapped`` — the persisted docs⋈components table consumed by
+    three downstream branches (Catalyst does not CSE across them); long-
+    lived sessions unpersist it after consuming the result.
+
+    Scale shape: components cost O(diameter) label-prop rounds over the
+    PAIR table; the winner per component comes from ``top_per_group``'s
+    bounded local-prune + bounded global aggregate — a viral template
+    cluster with millions of members never buffers on one reducer the way
+    a row_number window would. The winners⋈decision join is left unhinted:
+    winners has one row per COMPONENT (~corpus-sized on a mostly-unique
+    corpus), so forcing a broadcast would be exactly the build-side OOM
+    the rest of this suite avoids; Catalyst broadcasts it only when its
+    size estimate says it fits.
+
+    Reference analog: the keep-one-per-cluster rule generalizes the
+    template grouping of drain.go:263-276; the quality-aware choice is
+    training-data-suite semantics with no reference counterpart.
+    """
+    from .dedup import connected_components
+    from .sample import top_per_group
+
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    mapped = (
+        docs.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_score"))
+        .join(
+            comps.select(
+                F.col("doc_id").alias("_cid"), F.col("component_id").alias("_comp")
+            ),
+            F.col("_id") == F.col("_cid"),
+            "left",
+        )
+        # NO cast on the singleton fallback: component ids are min labels
+        # over the SAME id type as the input, so coalesce types already
+        # agree — a cast("long") would NULL every non-numeric singleton id
+        # and collapse all singletons into one NULL component.
+        .select("_id", "_score", F.coalesce("_comp", F.col("_id")).alias("component_id"))
+        .persist()
+    )
+    winners = top_per_group(
+        mapped, 1, group_col="component_id", order_col="_score",
+        key_cols=("_id",), ascending=False,
+    ).select(F.col("_id").alias("_win_id"))
+    out = mapped.join(winners, F.col("_id") == F.col("_win_id"), "left").select(
+        F.col("_id").alias(id_col),
+        "component_id",
+        F.col("_score").alias("score"),
+        F.col("_win_id").isNotNull().alias("kept"),
+    )
+    out.mapped = mapped  # unpersist handle — see the persist note above
+    return out
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset versioning: per-doc status between two corpus snapshots —
+    ``added`` (id only in new), ``removed`` (only in old), ``changed``
+    (both, text differs), ``unchanged``. The audit a pipeline emits
+    alongside every refresh so a training run can pin exactly what moved
+    between data versions.
+
+    Scale shape: each side collapses to (id, xxhash64(text)) BEFORE the
+    join — the full-outer join moves 16 bytes per doc, never text. Equal
+    hashes are reported ``unchanged`` without a byte-compare: at 64 bits a
+    false ``unchanged`` needs a hash collision (~2⁻⁶⁴ per changed doc —
+    the same trust the exact-dedup and span-dedup passes already place in
+    xxhash64); NULL text hashes like any value (two NULLs compare
+    unchanged).
+    """
+    oh = old.select(
+        F.col(id_col).alias("_id"), F.xxhash64(F.col(text_col)).alias("_oh")
+    )
+    nh = new.select(
+        F.col(id_col).alias("_id"), F.xxhash64(F.col(text_col)).alias("_nh")
+    )
+    joined = oh.join(nh, "_id", "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") == F.col("_nh"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("_id").alias(id_col), status.alias("status"))

@@ -177,6 +177,76 @@ def weighted_mixture(
     return out
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float,
+    target_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """T5/Pile-style temperature-weighted source sampling: each source's
+    share of the ``target_tokens`` budget is proportional to its token
+    mass raised to ``alpha`` (alpha=1 → natural proportions; alpha→0 →
+    uniform across sources; 0.3–0.7 are the published LLM-mix settings —
+    upweights small high-quality sources without drowning the big crawl).
+    Per-source keep fraction = min(1, target_i / mass_i), rounded to 6dp
+    (the repo float convention: pow/sum ulps must not flip an integer
+    MINSTD threshold), then the suite's standard per-row MINSTD predicate
+    decides each doc — scan-pushed, reproducible at any parallelism, and
+    SQL-recomputable end to end (the oracle re-derives masses, shares,
+    fractions, and draws).
+
+    Returns docs + ``keep_fraction`` + ``kept`` — the decision table (the
+    realized mix is ``filter(kept)``). Expected kept token mass per source
+    is fraction×mass; a source smaller than its temperature share keeps
+    everything (fraction clamps at 1), so the realized total can fall
+    short of ``target_tokens`` — by design: temperature sampling never
+    upsamples (repeat-epoch upsampling is the training loader's job).
+
+    Scale shape: one map-side-combined groupBy(source) for the masses
+    (|sources| rows), fractions via a broadcast join back, then the pure
+    per-row predicate — the corpus never shuffles.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_tokens < 0:
+        raise ValueError(f"target_tokens must be >= 0, got {target_tokens}")
+    masses = docs.groupBy(F.col(source_col).alias("_src")).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_mass")
+    )
+    denom = masses.agg(
+        F.sum(F.pow(F.col("_mass").cast("double"), F.lit(float(alpha)))).alias("_denom")
+    )
+    fracs = masses.crossJoin(F.broadcast(denom)).select(
+        "_src",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(int(target_tokens))
+                * F.pow(F.col("_mass").cast("double"), F.lit(float(alpha)))
+                / F.col("_denom")
+                / F.col("_mass"),
+            ),
+            6,
+        ).alias("keep_fraction"),
+    )
+    h = _minstd(key_col, salt)
+    return (
+        # eqNullSafe: the NULL source is a real group (the suite contract —
+        # cap_per_group/top_per_group likewise); a plain equi-join would
+        # silently drop NULL-source docs from the decision table while
+        # their mass still deflated every other source's fraction.
+        docs.join(F.broadcast(fracs), docs[source_col].eqNullSafe(F.col("_src")))
+        .drop("_src")
+        .withColumn(
+            "kept",
+            h < F.floor(F.col("keep_fraction") * F.lit(MINSTD_M).cast("double")).cast("long"),
+        )
+    )
+
+
 def global_shuffle(
     docs: DataFrame,
     n_shards: int = 64,

@@ -1573,3 +1573,111 @@ def test_best_of_n_selection_and_boundary_ties(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         best_of_n(df, n=0)
+
+
+def test_near_dup_keep_best_semantics(spark):
+    """Quality-aware survivor: exactly one kept per component, the best
+    scorer wins (ties: min id), singletons keep, and the decision DIFFERS
+    from keep-smallest exactly when the best doc is not the smallest id —
+    the refinement the op exists for."""
+    from log_parser_mind_spark.operators.curate import near_dup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 0.3), (2, 0.9), (3, 0.5), (5, 0.4), (6, 0.4), (9, 0.2)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.component_id, r.kept) for r in
+           near_dup_keep_best(docs, pairs, "q").collect()}
+    assert out == {
+        1: (1, False), 2: (1, True), 3: (1, False),   # best (0.9) wins, not min id
+        5: (5, True), 6: (5, False),                   # tie -> min id
+        9: (9, True),                                  # singleton
+    }
+    per_comp = {}
+    for _id, (comp, kept) in out.items():
+        per_comp[comp] = per_comp.get(comp, 0) + int(kept)
+    assert all(v == 1 for v in per_comp.values())
+
+    again = {r.doc_id: (r.component_id, r.kept) for r in
+             near_dup_keep_best(docs.repartition(5), pairs, "q").collect()}
+    assert again == out
+
+
+def test_temperature_mixture_fraction_math(spark):
+    """Temperature shares: alpha=1 reproduces natural proportions (every
+    fraction = target/total); alpha=0 splits the budget uniformly across
+    sources; small sources clamp at 1; validation rejects negatives."""
+    from log_parser_mind_spark.operators.sample import temperature_mixture
+
+    rows = [(i, "big", 10) for i in range(900)] + [
+        (1000 + i, "small", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    f1 = {r.source: r.keep_fraction for r in
+          temperature_mixture(df, 1.0, 5000).select("source", "keep_fraction").distinct().collect()}
+    assert f1 == {"big": 0.5, "small": 0.5}  # alpha=1: fraction = target/total mass
+
+    f0 = {r.source: r.keep_fraction for r in
+          temperature_mixture(df, 0.0, 5000).select("source", "keep_fraction").distinct().collect()}
+    # alpha=0: each source gets 2500 target tokens; big 2500/9000, small clamps 1.0
+    assert f0 == {"big": round(2500 / 9000, 6), "small": 1.0}
+
+    out = temperature_mixture(df, 0.5, 5000, salt=3)
+    again = temperature_mixture(df.repartition(7), 0.5, 5000, salt=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture(df, -0.1, 100)
+    with pytest.raises(ValueError, match="target_tokens"):
+        temperature_mixture(df, 0.5, -1)
+
+
+def test_corpus_diff_statuses(spark):
+    """Snapshot diff: added/removed/changed/unchanged per id; NULL text
+    compares like a value (NULL→NULL unchanged, NULL→text changed); the
+    join moves only (id, hash) — text never rides the exchange."""
+    from log_parser_mind_spark.operators.curate import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (6, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, None), (6, "now set")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added", 6: "changed"}
+
+
+def test_ninth_wave_null_and_string_id_contracts(spark):
+    """Review regressions: (a) NULL-source docs stay in temperature_mixture's
+    decision table as a real group (eqNullSafe join); (b) string doc ids
+    keep per-singleton components in near_dup_keep_best (no long cast
+    collapsing singletons into one NULL component)."""
+    from log_parser_mind_spark.operators.curate import near_dup_keep_best
+    from log_parser_mind_spark.operators.sample import temperature_mixture
+
+    rows = [(i, "a" if i < 40 else None, 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = temperature_mixture(df, 0.5, 300)
+    assert out.count() == 60  # NULL-source rows present, not dropped
+    fr = {r.source: r.keep_fraction
+          for r in out.select("source", "keep_fraction").distinct().collect()}
+    assert set(fr) == {"a", None} and all(v is not None for v in fr.values())
+
+    docs = spark.createDataFrame(
+        [("x", 0.5), ("y", 0.9), ("z", 0.2), ("solo1", 0.1), ("solo2", 0.1)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame([("x", "y")], "id_a string, id_b string")
+    res = near_dup_keep_best(docs, pairs, "q", id_col="doc_id")
+    got = {r.doc_id: (r.component_id, r.kept) for r in res.collect()}
+    res.mapped.unpersist()
+    assert got == {"x": ("x", False), "y": ("x", True), "z": ("z", True),
+                   "solo1": ("solo1", True), "solo2": ("solo2", True)}

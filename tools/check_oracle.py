@@ -96,10 +96,35 @@ def _py_oracle_leakage_safe_split(con: "duckdb.DuckDBPyConnection") -> pd.DataFr
     )
 
 
+def _py_oracle_dedup_keep_best(con: "duckdb.DuckDBPyConnection") -> pd.DataFrame:
+    """dedup_keep_best = union-find components (above) + the SAME filtered
+    quality SQL the recursive-CTE oracle splices (_oracle_quality_filtered
+    — the legacy _oracle_quality counts a blank text as 1 token and could
+    pick a different winner) + a pandas per-component argmax
+    (score DESC, doc_id ASC)."""
+    import __spark_entry__ as entrymod
+
+    comp = _py_oracle_near_dup_components(con)
+    qual = con.execute(entrymod._oracle_quality_filtered()).df()
+    m = comp.merge(qual, on="doc_id")
+    m = m.sort_values(["component_id", "quality", "doc_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    winners = set(m.groupby("component_id", sort=False).head(1)["doc_id"])
+    return pd.DataFrame(
+        {
+            "doc_id": m["doc_id"],
+            "component_id": m["component_id"],
+            "score": m["quality"],
+            "kept": m["doc_id"].isin(winners),
+        }
+    )
+
+
 # query name → fn(duckdb_con) -> DataFrame; used only under --py-oracles.
 PY_ORACLES = {
     "near_dup_components": _py_oracle_near_dup_components,
     "leakage_safe_split": _py_oracle_leakage_safe_split,
+    "dedup_keep_best": _py_oracle_dedup_keep_best,
 }
 
 
