@@ -246,3 +246,25 @@ def test_budget_selection_corpus_never_globally_sorts(spark):
     assert "_q" in wins[0], wins[0]
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan, plan
+
+
+def test_corpus_diff_text_never_rides_the_join(spark, tmp_path):
+    """corpus_diff's full-outer join must consume pre-hashed 16-byte pairs:
+    the exchanges carry (id, hash) only — document text appears in the scan
+    but never in an Exchange's input columns."""
+    import re
+
+    from log_parser_mind_spark.operators.curate import corpus_diff
+
+    p_old, p_new = str(tmp_path / "old"), str(tmp_path / "new")
+    df = spark.createDataFrame(
+        [(i, "text payload " * 10 + str(i)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    df.write.parquet(p_old)
+    df.filter("doc_id % 3 != 0").write.parquet(p_new)
+    plan = _plan(corpus_diff(spark.read.parquet(p_old), spark.read.parquet(p_new)))
+    blocks = re.findall(r"\(\d+\) Exchange[^\n]*\n(.*?)(?:\n\n|\Z)", plan, re.S)
+    assert blocks, plan
+    for b in blocks:
+        assert "text" not in b, b
