@@ -509,3 +509,36 @@ def test_sft_examples_matches_python_reference(spark, rows, budget):
         for r in sft_examples(df, context_budget_tokens=budget).collect()
     }
     assert got == _sft_py(rows, budget)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # group
+            st.floats(min_value=-100, max_value=100,     # score (ties likely
+                      allow_nan=False, allow_infinity=False,
+                      width=16),                         #  via 16-bit floats)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_top_per_group_matches_python_reference(spark, rows, k):
+    """top_per_group == sort-then-head per group under the exact
+    (order DESC, key ASC) total order, for random groups/scores/k —
+    including heavy score ties, negative scores, and k > group size."""
+    data = [(f"g{g}", i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, doc_id long, v double")
+    got = {(r.g, r.doc_id) for r in
+           sm.top_per_group(df, k, group_col="g", order_col="v").collect()}
+
+    want = set()
+    by_g: dict[str, list] = {}
+    for g, i, v in data:
+        by_g.setdefault(g, []).append((i, v))
+    for g, members in by_g.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        want.update((g, i) for i, _ in members[:k])
+    assert got == want
