@@ -13,9 +13,12 @@ tree (drain.go:135-136) cannot):
                        not |input| rows. Hot templates (skewed conversations)
                        are absorbed map-side — no salting needed for this agg
                        because the combine is associative.
-  stage 3  CLUSTER   — ``applyInPandas`` per tree-leaf group over distinct
-                       signatures only (thousands, not billions). Sequential
-                       Drain runs here, in canonical first-occurrence order.
+  stage 3  CLUSTER   — one ``mapInArrow`` pass over leaf-partitioned,
+                       leaf-sorted distinct signatures only (thousands, not
+                       billions), running sequential Drain per contiguous
+                       leaf run in canonical first-occurrence order
+                       (_cluster_leaf_runs — one Python call per Arrow
+                       batch, not per leaf group).
   stage 4  ASSIGN    — join the (tiny) sig→template map back onto rows.
                        Broadcast by hint or by AQE's runtime size check, so
                        the fact table never shuffles.
@@ -29,8 +32,6 @@ from __future__ import annotations
 
 import functools
 import operator
-
-import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -165,42 +166,108 @@ def cluster_leaf(
     return assignments, sorted(by_template)
 
 
-def _make_cluster_udf(sim_threshold: float):
-    """Per-leaf clusterer. I/O is deliberately slim — only the signature and
-    its ordering key cross the Arrow boundary (timestamps/weights are joined
-    back JVM-side): the biggest leaf group is a single sequential task, so
-    every byte serialized here is wall-clock serial time."""
+def _cluster_leaf_runs(slim: DataFrame, sim_threshold: float, with_seeds: bool) -> DataFrame:
+    """Stage 3 runner (r6, guide §4.1/§4.2): one ``mapInArrow`` pass over
+    leaf-key-partitioned, leaf-key-sorted distinct signatures, running
+    ``cluster_leaf`` once per contiguous leaf run.
 
-    def cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        sigs = pdf["masked_sig"].tolist()
-        convs = pdf["first_conv"].tolist()
-        turns = pdf["first_turn"].tolist()
-        seed_flags = pdf["is_seed"].tolist() if "is_seed" in pdf.columns else None
+    Replaces ``groupBy(leaf).applyInPandas``: a text corpus has one leaf per
+    (token-count, first-two-tokens) combination — measured 4,857 leaves of
+    ~1.2 distinct signatures each on the documents fixture — and
+    ``FlatMapGroupsInPandas`` pays one Arrow round-trip plus one pandas
+    DataFrame construction PER GROUP (~24 s of Σ task idle per pipeline run
+    at sf0.1, ~0.5 ms in actual clustering). Shuffle shape is identical
+    (hash exchange on the leaf keys + per-partition sort — the same
+    distribution+ordering FlatMapGroupsInPandas requires); the only change
+    is one Python invocation per Arrow batch instead of per leaf. Output is
+    row-identical: every leaf's rows land in one partition, contiguously,
+    and ``cluster_leaf`` orders its input internally by (conv, turn), so
+    per-leaf results do not depend on batch boundaries or tie order.
+    Memory per task is bounded by one Arrow batch plus the largest single
+    leaf — the same bound the per-group form had."""
+    cols = ["n_tokens", "k0", "k1", "masked_sig", "first_conv", "first_turn"]
+    if with_seeds:
+        cols.append("is_seed")
+    part = (
+        slim.select(*cols)
+        .repartition(*_LEAF_KEYS)
+        .sortWithinPartitions(*_LEAF_KEYS)
+    )
 
-        if seed_flags is not None:
-            seeds = [sigs[i] for i in range(len(sigs)) if seed_flags[i]]
-            real = [i for i in range(len(sigs)) if not seed_flags[i]]
-        else:
-            seeds = []
-            real = list(range(len(sigs)))
-        assigned, _ = cluster_leaf(
-            [sigs[i] for i in real],
-            [convs[i] for i in real],
-            [turns[i] for i in real],
-            seeds,
-            sim_threshold,
+    def run(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("masked_sig", pa.string()),
+                ("template_id", pa.string()),
+                ("template", pa.string()),
+                ("creates", pa.bool_()),
+            ]
         )
-        # Seed rows are cluster state, not signatures — emit real rows only.
-        return pd.DataFrame(
-            {
-                "masked_sig": [sigs[i] for i in real],
-                "template_id": [a[0] for a in assigned],
-                "template": [a[1] for a in assigned],
-                "creates": [a[2] for a in assigned],
-            }
-        )
+        cur_key = None
+        sigs: list = []
+        convs: list = []
+        turns: list = []
+        seed_f: list = []
+        out: list[list] = [[], [], [], []]
 
-    return cluster_group
+        def flush_group():
+            if not sigs:
+                return
+            if with_seeds:
+                seeds = [sigs[i] for i in range(len(sigs)) if seed_f[i]]
+                real = [i for i in range(len(sigs)) if not seed_f[i]]
+            else:
+                seeds = []
+                real = list(range(len(sigs)))
+            assigned, _ = cluster_leaf(
+                [sigs[i] for i in real],
+                [convs[i] for i in real],
+                [turns[i] for i in real],
+                seeds,
+                sim_threshold,
+            )
+            # Seed rows are cluster state, not signatures — emit real only.
+            out[0].extend(sigs[i] for i in real)
+            out[1].extend(a[0] for a in assigned)
+            out[2].extend(a[1] for a in assigned)
+            out[3].extend(a[2] for a in assigned)
+            sigs.clear(), convs.clear(), turns.clear(), seed_f.clear()
+
+        def emit():
+            batch = pa.record_batch(
+                [pa.array(c, t.type) for c, t in zip(out, out_schema)],
+                schema=out_schema,
+            )
+            for c in out:
+                c.clear()
+            return batch
+
+        for b in batches:
+            d = b.to_pydict()
+            nts, k0s, k1s = d["n_tokens"], d["k0"], d["k1"]
+            b_sigs, b_convs, b_turns = d["masked_sig"], d["first_conv"], d["first_turn"]
+            b_seed = d["is_seed"] if with_seeds else None
+            for r in range(b.num_rows):
+                key = (nts[r], k0s[r], k1s[r])
+                if key != cur_key:
+                    flush_group()
+                    cur_key = key
+                sigs.append(b_sigs[r])
+                convs.append(b_convs[r])
+                turns.append(b_turns[r])
+                if with_seeds:
+                    seed_f.append(b_seed[r])
+            # Completed groups stream out per input batch; only the open
+            # (possibly batch-spanning) leaf stays buffered.
+            if out[0]:
+                yield emit()
+        flush_group()
+        if out[0]:
+            yield emit()
+
+    return part.mapInArrow(run, schema=_CLUSTER_OUT)
 
 
 def _split_giant_leaves(slim: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
@@ -298,17 +365,24 @@ def _assign_tail(
     )
 
     def add_singleton_ids(it):
-        for pdf in it:
-            out = pdf[["masked_sig"]].copy()
-            out["template_id"] = template_ids_batch(out["masked_sig"].tolist())
-            out["template"] = out["masked_sig"]
-            out["creates"] = True
-            yield out
+        import pyarrow as pa
+
+        for b in it:
+            sigs = b.column("masked_sig")
+            yield pa.record_batch(
+                [
+                    sigs,
+                    pa.array(template_ids_batch(sigs.to_pylist()), pa.string()),
+                    sigs,
+                    pa.array([True] * b.num_rows, pa.bool_()),
+                ],
+                names=["masked_sig", "template_id", "template", "creates"],
+            )
 
     singles = (
         best.filter(F.col("m").isNull())
         .select("masked_sig")
-        .mapInPandas(add_singleton_ids, schema=_CLUSTER_OUT)
+        .mapInArrow(add_singleton_ids, schema=_CLUSTER_OUT)
     )
     return matched.unionByName(singles)
 
@@ -338,7 +412,6 @@ def mine_assignments(
     sig_stats = _sig_stats(masked, collect_samples=False, max_depth=config.drain.max_depth)
     if cache_sig_stats:
         sig_stats = sig_stats.persist()
-    udf = _make_cluster_udf(config.drain.sim_threshold)
     slim = sig_stats.select(*_LEAF_KEYS, "masked_sig", "first_conv", "first_turn")
     seeds = None
     if seed_templates is not None:
@@ -366,14 +439,14 @@ def mine_assignments(
         use_guard = max_leaf is not None and max_leaf > cap
     if not use_guard:
         grouped = slim if seeds is None else slim.unionByName(seeds)
-        clustered = grouped.groupBy(*_LEAF_KEYS).applyInPandas(udf, schema=_CLUSTER_OUT)
+        clustered = _cluster_leaf_runs(grouped, config.drain.sim_threshold, seeds is not None)
     else:
         sample, tail = _split_giant_leaves(slim, cap)
         if seeds is not None:
             # Seeds always mine with the sample — they are cluster state, and
             # must never be hash-partitioned into the tail.
             sample = sample.unionByName(seeds)
-        clustered = sample.groupBy(*_LEAF_KEYS).applyInPandas(udf, schema=_CLUSTER_OUT)
+        clustered = _cluster_leaf_runs(sample, config.drain.sim_threshold, seeds is not None)
         if cache_sig_stats:
             # The clustered table feeds BOTH union branches (direct + the
             # tail-template join); without caching, the Python clustering

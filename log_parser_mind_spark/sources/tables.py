@@ -70,12 +70,77 @@ def repartition_salted(
     return df.repartition(n_partitions, F.col(key), salt)
 
 
+# Repartition small scans only when rows carry a payload wide enough that
+# per-row compute (shingle hashing, tokenize folds, vector math) plausibly
+# dominates the scan. Narrow fact rows (events/lineitem-shaped, ~20 B/row)
+# feed plain aggregates whose single-task partial agg is already cheaper
+# than an extra exchange — measured +0.4 s on error_rates_events when they
+# were repartitioned unconditionally.
+_MIN_PARALLEL_ROW_BYTES = 64
+
+
+def _byte_conf(spark: SparkSession, key: str, default: str) -> int:
+    v = spark.conf.get(key, default)
+    return int(
+        spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)  # type: ignore[union-attr]
+    )
+
+
+def scan_with_min_parallelism(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Scan-parallelism floor (optimization guide §2.2/§6, r6).
+
+    A small table stored as one single-row-group parquet file scans as ONE
+    task — ``spark.sql.files.maxPartitionBytes`` can only split BETWEEN row
+    groups, so every downstream per-row stage (shingle hashing, HOF folds,
+    regex masking) serializes on one core no matter how many are free
+    (measured: dedup_minhash spent 4.5 s of its 5.2 s wall in a single scan
+    task at sf0.1). Round-robin repartition to ``defaultParallelism`` when
+    (a) the scan would yield fewer splits than cores AND (b) the table's
+    compressed bytes-per-row ≥ 64 — i.e. rows carry a text/vector payload
+    whose per-row compute dwarfs one small shuffle. Scale-adaptive by
+    construction: a table big enough to split past the core count returns
+    early from the file-size probe and pays NOTHING — the exchange exists
+    only when it buys parallelism, and its cost is bounded by the (small)
+    table it spreads. Probing reads parquet footers (local driver
+    metadata), never the data. Results are partitioning-independent (the
+    suite's N-vs-4N executor invariance), so this is a pure plan-shape
+    change."""
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            files = [
+                os.path.join(dp, fn)
+                for dp, _dirs, fns in os.walk(path)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+        if not files:
+            return df
+        max_split = _byte_conf(spark, "spark.sql.files.maxPartitionBytes", "128MB")
+        sizes = [os.path.getsize(f) for f in files]
+        est_splits = sum(-(-s // max_split) for s in sizes)
+        if est_splits >= target:
+            return df  # big table: scan already parallel, probe stops here
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if rows == 0 or sum(sizes) / rows < _MIN_PARALLEL_ROW_BYTES:
+            return df
+    except Exception:  # metadata probe failure must never break the read path
+        return df
+    return df.repartition(target)
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    return scan_with_min_parallelism(spark.read.parquet(path), spark, path)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return scan_with_min_parallelism(spark.read.parquet(path), spark, path)
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,9 +95,12 @@ def test_miner_python_stage_is_only_on_sig_stats(spark):
     # formatted explain prints each operator twice (tree line + detail block);
     # with caching disabled the giant-leaf guard references the clustered
     # stage from three branches (union + tail matched + tail singleton), so
-    # the node may print up to 3×2 times. With the default cache_sig_stats
-    # the clustered + tail tables are persisted and execute once.
-    assert 2 <= plan.count("FlatMapGroupsInPandas") <= 6
+    # the node may print up to 3×2 times, plus 1×2 for the tail-singleton
+    # MapInArrow. With the default cache_sig_stats the clustered + tail
+    # tables are persisted and execute once. (r6: the clusterer is a
+    # MapInArrow pass over leaf-sorted partitions, one Python call per
+    # Arrow batch instead of one per leaf group.)
+    assert 2 <= plan.count("MapInArrow") <= 8
     # The pandas stage consumes an aggregate (distinct sigs), not the scan:
     # the miner plan must contain the signature aggregation.
     assert any(m in plan for m in ("HashAggregate", "ObjectHashAggregate", "SortAggregate"))
@@ -107,6 +110,46 @@ def test_miner_python_stage_is_only_on_sig_stats(spark):
     )
     full = _plan(parsed)
     assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+
+
+def test_cluster_leaf_runs_matches_per_leaf_reference_across_batches(spark):
+    """r6 clusterer internals: _cluster_leaf_runs groups CONTIGUOUS leaf
+    runs inside one mapInArrow pass; a leaf whose rows span multiple Arrow
+    batches must still cluster as ONE group. Forced 3-row batches make the
+    7-signature leaves span batch boundaries; the expected output is
+    cluster_leaf run per leaf directly (the exact per-group contract the
+    old applyInPandas form had)."""
+    from log_parser_mind_spark.operators.miner import (
+        _cluster_leaf_runs,
+        cluster_leaf,
+        leaf_keys_from_sig,
+    )
+
+    sigs = [f"alpha beta s{i} t" for i in range(7)] + [
+        f"gamma delta u{i} v w" for i in range(7)
+    ]
+    convs = [f"c{i:02d}" for i in range(len(sigs))]
+    turns = list(range(len(sigs)))
+    df = spark.createDataFrame(
+        list(zip(sigs, convs, turns)),
+        "masked_sig string, first_conv string, first_turn int",
+    )
+    slim = df.select(*leaf_keys_from_sig(4), "masked_sig", "first_conv", "first_turn")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        out = _cluster_leaf_runs(slim, 0.5, with_seeds=False).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    expected = {}
+    for lo, hi in ((0, 7), (7, 14)):
+        assigned, _ = cluster_leaf(sigs[lo:hi], convs[lo:hi], turns[lo:hi], [], 0.5)
+        for s, a in zip(sigs[lo:hi], assigned):
+            expected[s] = a
+    got = {r.masked_sig: (r.template_id, r.template, r.creates) for r in out}
+    assert got == expected
+
 
 def test_exact_contamination_blocklist_broadcasts(spark):
     """The benchmark gram set must ride a BroadcastHashJoin onto the corpus
