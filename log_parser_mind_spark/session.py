@@ -40,13 +40,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # zstd for shuffle + parquet: measured fastest at every size ≥ 8
-        # threads AND the best thread-scaling — it trades memory/disk traffic
-        # for parallelizable compute (BENCH/BASELINE.md).
-        .config("spark.io.compression.codec", "zstd")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # lz4 for shuffle + parquet (r6): interleaved min-take A/B at sf0.1
+        # measured lz4 faster than the zstd defaults of rounds 2-5 both for
+        # the many small shuffles (−5 s suite) and for the write-once
+        # intermediate parquet snapshots the pipeline emits (−3 s) — zstd's
+        # better ratio only pays when shuffle/storage bandwidth is the
+        # bottleneck, which local NVMe + small blocks are not
+        # (OPTIMIZATION_r06.md). On network-bound clusters where ratio
+        # matters, override via SPARK_GRAFT_EXTRA_CONF=
+        # "spark.io.compression.codec=zstd;spark.sql.parquet.compression.codec=zstd".
+        .config("spark.io.compression.codec", "lz4")
+        .config("spark.sql.parquet.compression.codec", "lz4")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Deploy-time overrides without code changes (cluster tuning knob —
+    # semicolon-separated key=value pairs), applied before caller extras.
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        if k.strip() and v.strip():
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

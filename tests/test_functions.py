@@ -41,6 +41,31 @@ def test_is_variable_spark_matches_python(spark):
         assert got[t] == drain_core.is_variable(t), t
 
 
+def test_is_variable_gate_is_sound_fuzz(spark):
+    """r6: is_variable_expr = gate AND full-pattern. The gate must be a
+    NECESSARY condition (no token matching the 8-branch alternation may
+    fail it), or masking silently changes. Fuzz gated vs ungated JVM
+    evaluation with hex-letter-heavy random tokens (the trickiest gate
+    branch: digit-free uuid/hex forms)."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefABCDEF0123456789ghizGZ.-:/@+_%"
+    toks = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 24)))
+        for _ in range(3000)
+    ]
+    toks += ["a" * 7 + "f", "abcdefab-cdef-abcd-efab-cdefabcdefab", "-inF", "+NAN"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    rows = df.select(
+        "tok",
+        masking.is_variable_expr(F.col("tok")).alias("gated"),
+        F.col("tok").rlike(masking.IS_VARIABLE_PATTERN).alias("ungated"),
+    ).collect()
+    for r in rows:
+        assert r.gated == r.ungated, r.tok
+
+
 def test_masked_tokens_spark_matches_python(spark):
     texts = [" ".join(TOKENS), "Error connecting to database at 192.168.1.1:5432"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
