@@ -139,19 +139,25 @@ def main() -> None:
     inc_new = docs.filter(F.col("doc_id") % 5 == 0)
     idx_dir = tempfile.mkdtemp(prefix="logmind_idx_")
     try:
-        timed(
-            "minhash_index_build",
-            lambda: dedup.build_minhash_index(inc_base, k=32, bands=16)
-            .write.mode("overwrite")
-            .parquet(f"{idx_dir}/idx"),
-        )
-        stored_idx = spark.read.parquet(f"{idx_dir}/idx")
-        timed(
-            "incremental_dedup",
-            lambda: _noop(
-                dedup.dedup_against_index(inc_new, stored_idx, inc_base, k=32, bands=16)
-            ),
-        )
+        need_idx = not only or "incremental_dedup" in only
+
+        def _build():
+            dedup.build_minhash_index(inc_base, k=32, bands=16).write.mode(
+                "overwrite"
+            ).parquet(f"{idx_dir}/idx")
+
+        if not only or "minhash_index_build" in only:
+            timed("minhash_index_build", _build)
+        elif need_idx:
+            _build()  # untimed prerequisite for the filtered run
+        if need_idx:
+            stored_idx = spark.read.parquet(f"{idx_dir}/idx")
+            timed(
+                "incremental_dedup",
+                lambda: _noop(
+                    dedup.dedup_against_index(inc_new, stored_idx, inc_base, k=32, bands=16)
+                ),
+            )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

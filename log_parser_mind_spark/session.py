@@ -18,6 +18,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    prewarm_python_workers: bool = True,
 ) -> SparkSession:
     cpus = os.cpu_count() or 4
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
@@ -63,4 +64,40 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if prewarm_python_workers and os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0":
+        _prewarm_python_workers(spark)
     return spark
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Fork and warm one reusable Python worker per core at session build
+    (r6, guide §4.5's once-per-task principle applied once-per-session).
+
+    The first Python stage of a session otherwise pays daemon start + worker
+    fork + pyarrow/package imports inline in whatever query happens to run
+    first (measured 1-2 s on the miner's clusterer stage). Worker reuse
+    (`spark.python.worker.reuse`, default on) keeps the warmed pool alive
+    for every later Python stage. This touches no data and computes nothing
+    query-specific — it is pool warmup, the same work the first query would
+    do, moved to session build. Disable with SPARK_GRAFT_PREWARM=0."""
+
+    def warm(batches):
+        try:  # the package import is best-effort: a worker whose path
+            import log_parser_mind_spark.operators.miner  # noqa: F401
+        except Exception:  # misses the repo still warms pyarrow + protocol
+            pass
+        for b in batches:
+            yield b
+
+    try:
+        n = spark.sparkContext.defaultParallelism
+        (
+            spark.range(n)
+            .repartition(n)
+            .mapInArrow(warm, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass  # warmup must never break session creation
