@@ -70,22 +70,23 @@ def redact_expr(text: Column, config: RedactorConfig | None = None) -> Column:
     return out
 
 
-def redact_map_values_expr(variables: Column, config: RedactorConfig | None = None) -> Column:
-    """RedactVariables (redactor.go:110-121) over a Map<String,String> column.
-
-    Hot-path shape: one combined rlike gates the 4-6 regexp_replace chain —
-    most variable values carry no PII, so the common case pays a single
-    regex scan instead of one per pattern (same output by construction:
-    values not matching any pattern are replace no-ops).
-    """
+def redact_value_expr(value: Column, config: RedactorConfig | None = None) -> Column:
+    """One redacted VALUE: a combined rlike gates the 4-6 regexp_replace
+    chain — most variable values carry no PII, so the common case pays a
+    single regex scan instead of one per pattern (same output by
+    construction: values not matching any pattern are replace no-ops)."""
     pats = active_patterns(config)
     if not pats:
-        return variables
+        return value
     combined = "|".join(f"(?:{p})" for _, p, _ in pats)
-    return F.transform_values(
-        variables,
-        lambda _k, v: F.when(v.rlike(combined), redact_expr(v, config)).otherwise(v),
-    )
+    return F.when(value.rlike(combined), redact_expr(value, config)).otherwise(value)
+
+
+def redact_map_values_expr(variables: Column, config: RedactorConfig | None = None) -> Column:
+    """RedactVariables (redactor.go:110-121) over a Map<String,String> column."""
+    if not active_patterns(config):
+        return variables
+    return F.transform_values(variables, lambda _k, v: redact_value_expr(v, config))
 
 
 def detect_pii_expr(text: Column, config: RedactorConfig | None = None) -> Column:
