@@ -92,9 +92,15 @@ def minhash_banded(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias("shingle"),
     )
+    # r6: one server-parsed expression instead of k Column-API chains —
+    # the per-seed F.min(F.xxhash64(F.lit(i), ...)) loop cost ~4 py4j
+    # round trips per seed of pure DataFrame build time (see simhash_table
+    # for the measurement). `{i}` parses as the same IntegerType literal
+    # F.lit(i) produced, so the seeded hashes are bit-identical (pinned by
+    # the minhash_candidates oracle).
     sig = exploded.groupBy("id").agg(
-        F.array(
-            *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))) for i in range(k)]
+        F.expr(
+            "array(" + ", ".join(f"min(xxhash64({i}, shingle))" for i in range(k)) + ")"
         ).alias("sig")
     )
     return sig.select(
@@ -216,20 +222,26 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.col(id_col).alias("id"),
         F.explode_outer(toks).alias("tok"),
     ).select("id", F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"))
-    one = F.lit(1).cast("long")
+    # r6: each vote/reassembly term is ONE server-parsed F.expr string —
+    # the original per-term Column-API chains cost ~8 py4j round trips
+    # per bit (~500 total), which was measured as 1.0-1.8 s of pure
+    # DataFrame BUILD time per call (Catalyst planning itself is ~0.05 s
+    # warm). Semantically identical: sum() skips the NULL rows that
+    # explode_outer emits for token-less docs (the old form said so with
+    # an explicit WHEN h IS NOT NULL), and shiftleft(1L, i) is the same
+    # constant-folded bit the Column chain built.
     votes = [
-        F.sum(
-            F.when(
-                F.col("h").isNotNull(),
-                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(one) * F.lit(2) - F.lit(1),
-            )
-        ).alias(f"b{i}")
+        F.expr(f"sum((shiftrightunsigned(h, {i}) & 1L) * 2L - 1L)").alias(f"b{i}")
         for i in range(64)
     ]
     agg = exploded.groupBy("id").agg(*votes, F.count(F.col("h")).alias("n_tokens"))
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+    sim = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+            for i in range(64)
+        )
+    )
     return agg.select("id", sim.alias("simhash"), "n_tokens")
 
 
