@@ -188,9 +188,18 @@ def _cluster_leaf_runs(slim: DataFrame, sim_threshold: float, with_seeds: bool) 
     cols = ["n_tokens", "k0", "k1", "masked_sig", "first_conv", "first_turn"]
     if with_seeds:
         cols.append("is_seed")
+    # Explicit partition count = defaultParallelism (cluster-derived, not a
+    # constant): the clusterer's per-partition work is SERIAL Python, and
+    # AQE's byte-based coalescing happily folds a few-MB distinct-signature
+    # table into 1-2 partitions — measured ~1.7 s of single-task Drain at
+    # sf0.1 with 31 cores idle. For a Python stage, parallelism should be
+    # sized by cores, not bytes; at scale the distinct-signature table is
+    # GBs over thousands of cores — MBs per task either way.
     part = (
         slim.select(*cols)
-        .repartition(*_LEAF_KEYS)
+        .repartition(
+            slim.sparkSession.sparkContext.defaultParallelism, *_LEAF_KEYS
+        )
         .sortWithinPartitions(*_LEAF_KEYS)
     )
 
